@@ -1,0 +1,175 @@
+"""Cubemap skybox sampling — the texture gather of the render kernel.
+
+Reference: get_skybox_color (TerminalRayTracer.c:697-789). Steps:
+  1. face = argmax over the 6 cube axes of dot(dir, axis) — strict-greater
+     scan in face order, so ties resolve to the FIRST max (argmax matches).
+  2. scale dir so its face-axis component is 1 (point on the unit cube),
+     take the orthogonal component * 0.5 (faces sit 0.5 from the origin).
+  3. (u, v) = orthogonal component dotted with the axes (face+2)%6 and
+     (face+4)%6 (TerminalRayTracer.c:726-727).
+  4. per-face empirical uv fixups "based on the milkyway skybox"
+     (TerminalRayTracer.c:729-761): odd faces mirror u; faces 0/1 rotate
+     -90deg; 2/3 rotate +90deg; 4 rotates 180deg.
+  5. clamp uv to (-0.5, 0.5), nearest texel via int truncation
+     (TerminalRayTracer.c:778-788).
+
+TPU-first design: steps 3-4 are compositions of sign flips and swaps, so
+they fold EXACTLY (no FP error — all coefficients are 0/±1) into two
+precomputed (6, 3) lookup tables U_AXIS/V_AXIS, turning the reference's
+per-face branch ladder into two tiny gathers + dot products, uniform across
+all lanes. The texel fetch is one flat gather per channel from the
+(6*dim*dim,) face array — XLA lowers this to a TPU dynamic-gather.
+
+The reference indexes texture[u + v*dim] where rows are PPM scanlines, i.e.
+u is the column and v the row — faces stored (6, dim<v>, dim<u>).
+
+Note on the reference's out-of-bounds edge: clamp yields u,v in the CLOSED
+interval [-0.5, 0.5]; u == 0.5 exactly maps to index dim (an OOB read / UB
+in the C). We clamp indices to dim-1: defined behavior, identical for every
+in-range texel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ttrt.scene import Skybox
+from ttrt.vec import Vec3
+
+# Cube axes in face order +X,-X,+Y,-Y,+Z,-Z (CUBEMAP_AXES,
+# TerminalRayTracer.c:137-143).
+CUBEMAP_AXES = np.array(
+    [
+        [1.0, 0.0, 0.0],
+        [-1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.0, -1.0, 0.0],
+        [0.0, 0.0, 1.0],
+        [0.0, 0.0, -1.0],
+    ]
+)
+
+
+def _build_uv_tables():
+    """Fold the (face+2)%6 / (face+4)%6 axis picks and the per-face fixups
+    (TerminalRayTracer.c:726-761) into (6,3) U/V axis tables."""
+    u_axis = np.zeros((6, 3))
+    v_axis = np.zeros((6, 3))
+    for f in range(6):
+        a2 = CUBEMAP_AXES[(f + 2) % 6]
+        a4 = CUBEMAP_AXES[(f + 4) % 6]
+        mir = np.diag([-1.0, 1.0]) if f % 2 == 1 else np.eye(2)
+        if f in (0, 1):  # rotate -90: (u,v) -> (v,-u)
+            rot = np.array([[0.0, 1.0], [-1.0, 0.0]])
+        elif f in (2, 3):  # rotate +90: (u,v) -> (-v,u)
+            rot = np.array([[0.0, -1.0], [1.0, 0.0]])
+        elif f == 4:  # rotate 180
+            rot = -np.eye(2)
+        else:
+            rot = np.eye(2)
+        t = rot @ mir
+        u_axis[f] = t[0, 0] * a2 + t[0, 1] * a4
+        v_axis[f] = t[1, 0] * a2 + t[1, 1] * a4
+    return u_axis, v_axis
+
+
+U_AXIS, V_AXIS = _build_uv_tables()
+
+
+def skybox_uv(d: Vec3):
+    """Direction batch -> (face, u, v) with u,v clamped to [-0.5, 0.5].
+
+    Split out from the texel fetch so unit tests can check face selection
+    and uv math against the C transcription face-by-face.
+    """
+    dtype = d.x.dtype
+    dirn = d.normalize()  # guarded normalize (TerminalRayTracer.c:702)
+
+    axes = jnp.asarray(CUBEMAP_AXES, dtype)
+    # dot(dir, axis_f) for all 6 faces, stacked on a new leading axis: (6, ...)
+    dots = jnp.stack(
+        [
+            axes[f, 0] * dirn.x + axes[f, 1] * dirn.y + axes[f, 2] * dirn.z
+            for f in range(6)
+        ]
+    )
+    face = jnp.argmax(dots, axis=0).astype(jnp.int32)
+    best_t = jnp.max(dots, axis=0)
+
+    # dir scaled so its face-axis component == 1 (TerminalRayTracer.c:717-719)
+    inv = 1.0 / best_t
+    sx, sy, sz = dirn.x * inv, dirn.y * inv, dirn.z * inv
+
+    ax = Vec3(
+        jnp.take(axes[:, 0], face),
+        jnp.take(axes[:, 1], face),
+        jnp.take(axes[:, 2], face),
+    )
+    # C recomputes t = dot(scaled_dir, axis) rather than assuming 1.0
+    # (TerminalRayTracer.c:720); keep that for parity.
+    t2 = sx * ax.x + sy * ax.y + sz * ax.z
+    ox = (sx - t2 * ax.x) * 0.5
+    oy = (sy - t2 * ax.y) * 0.5
+    oz = (sz - t2 * ax.z) * 0.5
+
+    uax = jnp.asarray(U_AXIS, dtype)
+    vax = jnp.asarray(V_AXIS, dtype)
+    u = (
+        ox * jnp.take(uax[:, 0], face)
+        + oy * jnp.take(uax[:, 1], face)
+        + oz * jnp.take(uax[:, 2], face)
+    )
+    v = (
+        ox * jnp.take(vax[:, 0], face)
+        + oy * jnp.take(vax[:, 1], face)
+        + oz * jnp.take(vax[:, 2], face)
+    )
+    u = jnp.clip(u, -0.5, 0.5)
+    v = jnp.clip(v, -0.5, 0.5)
+    return face, u, v
+
+
+def sample_skybox(skybox: Skybox, d: Vec3, *, bilinear: bool = False) -> Vec3:
+    """Sample the cubemap along direction batch ``d``; returns float colors
+    in [0,1]. ``bilinear=False`` is the reference's nearest-texel fetch
+    (TerminalRayTracer.c:782-788); ``bilinear=True`` implements the
+    reference's roadmap item (TerminalRayTracer.c:23)."""
+    face, u, v = skybox_uv(d)
+    dim = skybox.dim
+    flat = Vec3(
+        skybox.faces.x.reshape(-1),
+        skybox.faces.y.reshape(-1),
+        skybox.faces.z.reshape(-1),
+    )
+    if not bilinear:
+        # nearest: (int)((u+0.5)*dim), truncation == floor for u+0.5 >= 0
+        ui = jnp.minimum(((u + 0.5) * dim).astype(jnp.int32), dim - 1)
+        vi = jnp.minimum(((v + 0.5) * dim).astype(jnp.int32), dim - 1)
+        idx = face * (dim * dim) + vi * dim + ui
+        return Vec3(
+            jnp.take(flat.x, idx), jnp.take(flat.y, idx), jnp.take(flat.z, idx)
+        )
+
+    # bilinear: texel centers at (i + 0.5)/dim
+    fu = (u + 0.5) * dim - 0.5
+    fv = (v + 0.5) * dim - 0.5
+    u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, dim - 1)
+    v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, dim - 1)
+    u1 = jnp.minimum(u0 + 1, dim - 1)
+    v1 = jnp.minimum(v0 + 1, dim - 1)
+    wu = jnp.clip(fu - u0.astype(fu.dtype), 0.0, 1.0)
+    wv = jnp.clip(fv - v0.astype(fv.dtype), 0.0, 1.0)
+    base = face * (dim * dim)
+
+    def fetch(vi, ui):
+        idx = base + vi * dim + ui
+        return Vec3(
+            jnp.take(flat.x, idx), jnp.take(flat.y, idx), jnp.take(flat.z, idx)
+        )
+
+    c00, c01 = fetch(v0, u0), fetch(v0, u1)
+    c10, c11 = fetch(v1, u0), fetch(v1, u1)
+    top = c00 * (1.0 - wu) + c01 * wu
+    bot = c10 * (1.0 - wu) + c11 * wu
+    return top * (1.0 - wv) + bot * wv
