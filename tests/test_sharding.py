@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md §5: pixel-grid data parallelism; zero communication during
+trace, one psum over the samples axis)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ttrt.config import RenderConfig
+from ttrt.assets import make_colors_skybox, skybox_from_faces
+from ttrt.frames import orbit_camera_frame
+from ttrt.parallel.sharding import (
+    make_mesh,
+    make_sharded_frame_fn,
+    render_frame_sharded,
+)
+from ttrt.render.integrator import render_frame
+from ttrt.scene import demo_scene
+
+F64 = jnp.float64
+
+
+def make_scene(t=1.0, W=32, H=16):
+    sky = skybox_from_faces(make_colors_skybox(8), F64)
+    scene = demo_scene(sky, W, H, F64)
+    return scene.with_camera_frame(orbit_camera_frame(t, F64))
+
+
+@pytest.fixture(scope="module", autouse=True)
+def need_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices (conftest XLA_FLAGS)")
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_matches_single_device(mesh_shape):
+    n_rows, n_samp = mesh_shape
+    W, H, N = 24, 16, 8
+    cfg = RenderConfig(width=W, height=H, rays_per_pixel=N, dtype=F64)
+    scene = make_scene(1.234, W, H)
+    mesh = make_mesh(n_rows, n_samp)
+
+    fb_ref, rays_ref = jax.jit(
+        lambda s: render_frame(s, cfg, count_rays=True)
+    )(scene)
+    fb_sh, rays_sh = jax.jit(
+        lambda s: render_frame_sharded(s, cfg, mesh)
+    )(scene)
+
+    a = np.asarray(fb_ref.to_array())
+    b = np.asarray(fb_sh.to_array())
+    # FP reassociation across the samples psum can reorder the AA sum
+    np.testing.assert_allclose(a, b, atol=1e-12)
+    assert int(rays_ref) == int(rays_sh)
+
+
+def test_indivisible_height_rejected():
+    cfg = RenderConfig(width=8, height=10, rays_per_pixel=8, dtype=F64)
+    scene = make_scene(1.0, 8, 10)
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError, match="not divisible"):
+        render_frame_sharded(scene, cfg, mesh)
+
+
+def test_sharded_frame_fn_ansi():
+    W, H, N = 16, 8, 2
+    cfg = RenderConfig(width=W, height=H, rays_per_pixel=N, dtype=F64)
+    sky = skybox_from_faces(make_colors_skybox(8), F64)
+    scene = demo_scene(sky, W, H, F64)
+    mesh = make_mesh(2, 2, devices=jax.devices()[:4])
+    frame = make_sharded_frame_fn(scene, cfg, mesh, encode="ansi")
+    buf, rays = frame(jnp.asarray(1.0, F64))
+    from ttrt.term.encoder import ansi_buffer_size
+
+    assert buf.shape == (ansi_buffer_size(W, H),)
+    assert bytes(np.asarray(buf[:6])) == b"\033[0;0H"
+    assert int(rays) > 0

@@ -114,11 +114,16 @@ def load_skybox_faces(directory: str) -> np.ndarray:
     return np.stack(faces)
 
 
-def skybox_from_faces(faces_u8: np.ndarray, dtype=jnp.float32) -> Skybox:
-    """(6, dim, dim, 3) uint8 -> device Skybox with float [0,1] channels
-    (texel/255 conversion per TerminalRayTracer.c:866)."""
-    f = jnp.asarray(faces_u8, dtype) / jnp.asarray(255.0, dtype)
-    return Skybox(faces=Vec3(f[..., 0], f[..., 1], f[..., 2]))
+def skybox_from_faces(faces_u8: np.ndarray, dtype=None) -> Skybox:
+    """(6, dim, dim, 3) uint8 -> packed device Skybox. Texels are stored
+    packed-u32; the texel/255 float conversion (TerminalRayTracer.c:866)
+    happens at sample time in the ray batch's dtype, so one Skybox serves
+    f32 and f64 paths. ``dtype`` is accepted for API compatibility and
+    ignored. Packing is done in NumPy on host — one cheap transfer, no
+    eager device ops."""
+    f = np.asarray(faces_u8, np.uint32)
+    packed = (f[..., 0] << 16) | (f[..., 1] << 8) | f[..., 2]
+    return Skybox(packed=jnp.asarray(packed))
 
 
 def load_skybox(name_or_dir: str, dtype=jnp.float32,

@@ -1,0 +1,150 @@
+"""Multi-chip rendering: shard the pixel grid over a device mesh.
+
+The reference is single-threaded (SURVEY.md §2: no parallelism anywhere);
+the TPU-native scaling story is data parallelism over rays — rays are
+independent, so the (H*W*spp) ray batch shards perfectly with ZERO
+cross-chip communication during tracing. Scene constants (spheres, lights,
+skybox texels) are replicated on every chip.
+
+Mesh layout: a 2D ('rows', 'samples') mesh.
+  - 'rows': shards image rows — each chip traces a horizontal band AND
+    ANSI-encodes its own band (the encode is row-local by construction:
+    every row maps to a fixed-size byte span). The all_gather of encoded
+    bands rides the ICI once per frame.
+  - 'samples': shards AA samples within each pixel — per-pixel partial
+    color sums are combined with one psum before the sample average. This
+    axis exists so sample-heavy configs (path-tracing tier) can scale
+    without needing H divisible by a huge chip count.
+
+Everything is expressed with shard_map over a Mesh so XLA inserts the
+collectives; there is no hand-written communication.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ttrt.config import RenderConfig
+from ttrt.render.integrator import generate_rays, trace_batch
+from ttrt.scene import Scene
+from ttrt.term.encoder import encode_ansi_frame, encode_rgb_frame
+from ttrt.vec import Vec3
+
+
+def make_mesh(
+    n_rows: Optional[int] = None,
+    n_samples: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ('rows', 'samples') mesh over the available devices."""
+    devices = jax.devices() if devices is None else devices
+    n = len(devices)
+    if n_rows is None:
+        n_rows = n // n_samples
+    assert n_rows * n_samples == n, (n_rows, n_samples, n)
+    dev_grid = np.asarray(devices).reshape(n_rows, n_samples)
+    return Mesh(dev_grid, ("rows", "samples"))
+
+
+def _check_divisible(cfg: RenderConfig, mesh: Mesh) -> None:
+    n_rows = mesh.shape["rows"]
+    n_samp = mesh.shape["samples"]
+    if cfg.height % n_rows:
+        raise ValueError(
+            f"height {cfg.height} not divisible by mesh rows {n_rows}"
+        )
+    if cfg.rays_per_pixel % n_samp:
+        raise ValueError(
+            f"rays_per_pixel {cfg.rays_per_pixel} not divisible by mesh "
+            f"samples {n_samp}"
+        )
+
+
+def render_frame_sharded(
+    scene: Scene, cfg: RenderConfig, mesh: Mesh
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Sharded analog of render_frame: each chip traces its (row-band x
+    sample-slice); one psum combines sample partials. Returns the full
+    replicated (H, W) framebuffer Vec3 + total trace count."""
+    _check_divisible(cfg, mesh)
+    H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
+    n_rows = mesh.shape["rows"]
+    n_samp = mesh.shape["samples"]
+
+    # Generate rays globally (cheap, elementwise) shaped (H, W, N) per
+    # component, then shard rows/samples. XLA partitions the generation
+    # itself once shard_map slices flow in.
+    o, d = generate_rays(scene, cfg)
+
+    def reshape(c):
+        return c.reshape(H, W, N)
+
+    o = Vec3(reshape(o.x), reshape(o.y), reshape(o.z))
+    d = Vec3(reshape(d.x), reshape(d.y), reshape(d.z))
+
+    ray_spec = P("rows", None, "samples")
+
+    @jax.shard_map(
+        mesh=mesh,
+        in_specs=(ray_spec, ray_spec, P()),
+        out_specs=(P("rows", None), jax.sharding.PartitionSpec()),
+        check_vma=False,
+    )
+    def shard_render(o_shard, d_shard, scene_rep):
+        h_loc, w, n_loc = o_shard.x.shape
+
+        def flat(c):
+            return c.reshape(-1)
+
+        of = Vec3(flat(o_shard.x), flat(o_shard.y), flat(o_shard.z))
+        df = Vec3(flat(d_shard.x), flat(d_shard.y), flat(d_shard.z))
+        color, rays = trace_batch(
+            scene_rep, of, df, cfg, count_rays=True
+        )
+
+        def unflat_sum(c):
+            # local partial sum over this chip's sample slice
+            return c.reshape(h_loc, w, n_loc).sum(axis=-1)
+
+        partial = Vec3(
+            unflat_sum(color.x), unflat_sum(color.y), unflat_sum(color.z)
+        )
+        # combine sample partials across the 'samples' axis, then average
+        total = Vec3(
+            jax.lax.psum(partial.x, "samples") * (1.0 / N),
+            jax.lax.psum(partial.y, "samples") * (1.0 / N),
+            jax.lax.psum(partial.z, "samples") * (1.0 / N),
+        )
+        rays_total = jax.lax.psum(
+            jax.lax.psum(rays, "samples"), "rows"
+        )
+        return total, rays_total
+
+    fb_band, rays = shard_render(o, d, scene)
+    return fb_band, rays
+
+
+def make_sharded_frame_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
+                          encode: str = "ansi"):
+    """jit-compiled t -> encoded frame over the mesh. ``encode`` selects
+    'ansi' (uint8 escape buffer) or 'rgb' ((H, W, 3) uint8)."""
+    from ttrt.frames import orbit_camera_frame
+
+    enc = encode_ansi_frame if encode == "ansi" else encode_rgb_frame
+
+    @jax.jit
+    def frame(t):
+        fr = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        s = scene.with_camera_frame(fr)
+        fb, rays = render_frame_sharded(s, cfg, mesh)
+        return enc(fb), rays
+
+    return frame

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ttrt.config import RenderConfig, constants
 from ttrt.render.intersect import trace_ray
 from ttrt.render.lighting import apply_lighting
+from ttrt.render.skybox import sample_skybox
 from ttrt.scene import HIT_NONE, Scene
 from ttrt.vec import Vec3, triangle_wave
 
@@ -98,6 +99,8 @@ class _BounceState(NamedTuple):
     contribution: jnp.ndarray
     total: jnp.ndarray  # contribution_total
     still_going: jnp.ndarray  # bool per ray
+    sky_dir: Vec3  # direction at sky termination (deferred gather)
+    sky_weight: jnp.ndarray  # contribution at sky termination, 0 if none
     ray_count: jnp.ndarray  # scalar: total traces performed (primary+shadow)
 
 
@@ -125,16 +128,23 @@ def trace_batch(
 
     def body(s: _BounceState) -> _BounceState:
         alive = alive_of(s)
-        hit = trace_ray(
-            scene, s.o, s.d, sample_sky=True, bilinear=cfg.skybox_bilinear
-        )
+        # sample_sky=False: the skybox gather — the renderer's dominant
+        # memory op — is DEFERRED out of the bounce loop. A ray reaches the
+        # sky at most once, always as its LAST contribution, so recording
+        # (direction, weight) here and gathering once after the loop is
+        # bit-identical to the reference's in-loop sampling order.
+        hit = trace_ray(scene, s.o, s.d, sample_sky=False)
         is_hit = hit.kind != HIT_NONE
+        miss_now = alive & ~is_hit
 
         view = -s.d
         lit = apply_lighting(
             scene, hit.point, view, hit.normal, hit.material.color
         )
-        color = lit.where(is_hit, hit.material.color)
+        # miss lanes contribute 0 in-loop (sky color added post-loop)
+        color = lit.where(is_hit, Vec3.full_like(s.d, 0.0, 0.0, 0.0))
+        sky_weight = jnp.where(miss_now, s.contribution, s.sky_weight)
+        sky_dir = s.d.where(miss_now, s.sky_dir)
 
         total = s.total + jnp.where(alive, s.contribution, 0.0)
         pixel = Vec3(
@@ -157,8 +167,10 @@ def trace_batch(
         if count_rays:
             # uint32 is ample: one frame's traces peak well under 2^32.
             n_alive = jnp.sum(alive.astype(jnp.uint32))
-            n_shadow = jnp.sum((alive & is_hit).astype(jnp.uint32)) * n_lights
-            ray_count = s.ray_count + n_alive + n_shadow
+            n_shadow = jnp.sum((alive & is_hit).astype(jnp.uint32)) * jnp.uint32(
+                n_lights
+            )
+            ray_count = (s.ray_count + n_alive + n_shadow).astype(jnp.uint32)
         else:
             ray_count = s.ray_count
 
@@ -170,6 +182,8 @@ def trace_batch(
             contribution=new_contribution,
             total=total,
             still_going=still_going,
+            sky_dir=sky_dir,
+            sky_weight=sky_weight,
             ray_count=ray_count,
         )
 
@@ -181,15 +195,25 @@ def trace_batch(
         contribution=jnp.ones_like(o.x),
         total=jnp.zeros_like(o.x),
         still_going=jnp.ones(o.x.shape, bool),
+        sky_dir=d,  # any valid direction; weight 0 until a miss records it
+        sky_weight=jnp.zeros_like(o.x),
         ray_count=jnp.zeros((), jnp.uint32),
     )
     final = jax.lax.while_loop(cond, body, init)
 
+    # deferred skybox gather: ONE pass over the ray batch
+    sky = sample_skybox(
+        scene.skybox, final.sky_dir, bilinear=cfg.skybox_bilinear
+    )
+    pixel = Vec3(
+        final.pixel.x + final.sky_weight * sky.x,
+        final.pixel.y + final.sky_weight * sky.y,
+        final.pixel.z + final.sky_weight * sky.z,
+    )
+
     inv_total = 1.0 / final.total  # total >= 1 (first bounce always counts)
     color = Vec3(
-        final.pixel.x * inv_total,
-        final.pixel.y * inv_total,
-        final.pixel.z * inv_total,
+        pixel.x * inv_total, pixel.y * inv_total, pixel.z * inv_total
     )
     return color, final.ray_count
 

@@ -130,26 +130,37 @@ def skybox_uv(d: Vec3):
     return face, u, v
 
 
+def _unpack(texels: jnp.ndarray, dtype) -> Vec3:
+    """0x00RRGGBB uint32 -> float [0,1] channels in the compute dtype.
+    A true division by 255 (NOT multiplication by a reciprocal): the
+    reference computes texel/255.0 (TerminalRayTracer.c:866) and the two
+    differ in the last ulp for some texel values, which is enough to flip
+    uint8 quantization at truncation boundaries."""
+    c255 = jnp.asarray(255.0, dtype)
+    return Vec3(
+        ((texels >> 16) & 0xFF).astype(dtype) / c255,
+        ((texels >> 8) & 0xFF).astype(dtype) / c255,
+        (texels & 0xFF).astype(dtype) / c255,
+    )
+
+
 def sample_skybox(skybox: Skybox, d: Vec3, *, bilinear: bool = False) -> Vec3:
     """Sample the cubemap along direction batch ``d``; returns float colors
-    in [0,1]. ``bilinear=False`` is the reference's nearest-texel fetch
+    in [0,1]. One packed-u32 gather per sample (the gather is the hot
+    memory op of the renderer; packing collapses 3 channel gathers into 1).
+    ``bilinear=False`` is the reference's nearest-texel fetch
     (TerminalRayTracer.c:782-788); ``bilinear=True`` implements the
     reference's roadmap item (TerminalRayTracer.c:23)."""
+    dtype = d.x.dtype
     face, u, v = skybox_uv(d)
     dim = skybox.dim
-    flat = Vec3(
-        skybox.faces.x.reshape(-1),
-        skybox.faces.y.reshape(-1),
-        skybox.faces.z.reshape(-1),
-    )
+    flat = skybox.packed.reshape(-1)
     if not bilinear:
         # nearest: (int)((u+0.5)*dim), truncation == floor for u+0.5 >= 0
         ui = jnp.minimum(((u + 0.5) * dim).astype(jnp.int32), dim - 1)
         vi = jnp.minimum(((v + 0.5) * dim).astype(jnp.int32), dim - 1)
         idx = face * (dim * dim) + vi * dim + ui
-        return Vec3(
-            jnp.take(flat.x, idx), jnp.take(flat.y, idx), jnp.take(flat.z, idx)
-        )
+        return _unpack(jnp.take(flat, idx), dtype)
 
     # bilinear: texel centers at (i + 0.5)/dim
     fu = (u + 0.5) * dim - 0.5
@@ -158,15 +169,12 @@ def sample_skybox(skybox: Skybox, d: Vec3, *, bilinear: bool = False) -> Vec3:
     v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, dim - 1)
     u1 = jnp.minimum(u0 + 1, dim - 1)
     v1 = jnp.minimum(v0 + 1, dim - 1)
-    wu = jnp.clip(fu - u0.astype(fu.dtype), 0.0, 1.0)
-    wv = jnp.clip(fv - v0.astype(fv.dtype), 0.0, 1.0)
+    wu = jnp.clip(fu - u0.astype(dtype), 0.0, 1.0)
+    wv = jnp.clip(fv - v0.astype(dtype), 0.0, 1.0)
     base = face * (dim * dim)
 
     def fetch(vi, ui):
-        idx = base + vi * dim + ui
-        return Vec3(
-            jnp.take(flat.x, idx), jnp.take(flat.y, idx), jnp.take(flat.z, idx)
-        )
+        return _unpack(jnp.take(flat, base + vi * dim + ui), dtype)
 
     c00, c01 = fetch(v0, u0), fetch(v0, u1)
     c10, c11 = fetch(v1, u0), fetch(v1, u1)

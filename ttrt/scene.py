@@ -143,17 +143,37 @@ class Camera(NamedTuple):
 class Skybox(NamedTuple):
     """Cubemap skybox (Skybox struct, TerminalRayTracer.c:129-135).
 
-    ``faces`` holds the six square faces as one float array of shape
-    ``(6, dim, dim)`` per channel (Vec3 of arrays), values in [0,1]
-    (texel/255, matching the conversion at TerminalRayTracer.c:866).
+    TPU-first texel layout: the six square faces are ONE uint32 array of
+    shape ``(6, dim, dim)`` with each texel packed as 0x00RRGGBB. A texel
+    fetch is then a single 4-byte gather (instead of three) — the gather
+    is the dominant cost of the whole renderer on TPU — and unpacking is
+    three cheap VPU shift/ands. The float [0,1] value is texel/255
+    computed in the ray batch's dtype, matching the reference's conversion
+    at sample time (TerminalRayTracer.c:866).
+
     Face order is +X,-X,+Y,-Y,+Z,-Z (TerminalRayTracer.c:132).
     """
 
-    faces: Vec3  # each component (6, dim, dim)
+    packed: jnp.ndarray  # (6, dim, dim) uint32, 0x00RRGGBB
 
     @property
     def dim(self) -> int:
-        return self.faces.x.shape[-1]
+        return self.packed.shape[-1]
+
+    @staticmethod
+    def from_uint8(faces_u8) -> "Skybox":
+        """(6, dim, dim, 3) uint8 -> packed device Skybox."""
+        f = jnp.asarray(faces_u8, jnp.uint32)
+        return Skybox(
+            packed=(f[..., 0] << 16) | (f[..., 1] << 8) | f[..., 2]
+        )
+
+    def to_uint8(self) -> jnp.ndarray:
+        """Unpack to (6, dim, dim, 3) uint8 (tests / image export)."""
+        p = self.packed
+        return jnp.stack(
+            [(p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF], axis=-1
+        ).astype(jnp.uint8)
 
 
 class Scene(NamedTuple):
