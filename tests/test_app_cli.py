@@ -1,0 +1,96 @@
+"""End-to-end CLI drives (CPU backend, tiny configs): the animation loop,
+the physics tier, the many-object tier, checkpoint round-trip, and the ANSI
+stream contract."""
+
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CELL_RE = re.compile(rb"\x1b\[48;2;(\d{3});(\d{3});(\d{3})m  \x1b\[0m")
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    return subprocess.run(
+        [sys.executable, "-m", "ttrt", "--cpu", "--no-input", *args],
+        cwd=REPO, env=env, capture_output=True, timeout=timeout,
+    )
+
+
+def _check_stream(out: bytes, frames: int, w: int, h: int):
+    assert out.startswith(b"\x1b[?25l"), out[:20]
+    assert out.count(b"\x1b[0;0H\x1b[48;2;") == frames
+    assert len(CELL_RE.findall(out)) == frames * w * h
+    assert b"\x1b[?25h" in out[-40:]
+    assert b" fps\n" in out
+
+
+@pytest.mark.parametrize("encode", ["device", "host"])
+def test_animation_stream(encode):
+    w, h, frames = 24, 10, 3
+    r = _run([
+        "--width", str(w), "--height", str(h), "--spp", "2",
+        "--frames", str(frames), "--skybox", "colors", "--fps", "1000",
+        "--encode", encode,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, frames, w, h)
+
+
+def test_physics_scene_runs_and_checkpoints(tmp_path):
+    w, h, frames = 16, 8, 2
+    ckpt = str(tmp_path / "phys.npz")
+    r = _run([
+        "--scene", "physics", "--width", str(w), "--height", str(h),
+        "--spp", "1", "--frames", str(frames), "--skybox", "colors",
+        "--fps", "1000", "--checkpoint", ckpt,
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, frames, w, h)
+    assert os.path.exists(ckpt)
+    t1 = float(np.load(ckpt)["arr_6"])  # last leaf = t (pos3, vel3, t)
+
+    # resume: sim time continues from the checkpoint
+    r2 = _run([
+        "--scene", "physics", "--width", str(w), "--height", str(h),
+        "--spp", "1", "--frames", str(frames), "--skybox", "colors",
+        "--fps", "1000", "--checkpoint", ckpt,
+    ])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert b"resumed physics state" in r2.stderr
+    t2 = float(np.load(ckpt)["arr_6"])
+    assert t2 > t1
+
+
+def test_many_scene_runs():
+    r = _run([
+        "--scene", "many", "--n-spheres", "128", "--width", "16",
+        "--height", "8", "--spp", "1", "--frames", "2",
+        "--skybox", "colors", "--fps", "1000", "--bounces", "3",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, 2, 16, 8)
+
+
+def test_still_ppm(tmp_path):
+    out = str(tmp_path / "still.ppm")
+    r = _run([
+        "--still", out, "--width", "32", "--height", "16", "--spp", "1",
+        "--time", "1.0", "--skybox", "uv_checker",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out, "rb") as f:
+        header = f.readline()
+        dims = f.readline()
+    assert header.strip() == b"P6"
+    assert dims.strip() == b"32 16"
+
+
+def test_bad_flags_rejected():
+    r = _run(["--width", "0"])
+    assert r.returncode == 2

@@ -36,10 +36,18 @@ from ttrt.utils.logging import log
 CAMERA_MOVE_SPEED = 0.1  # meters per keypress (reference stub's constant)
 
 
-def build_frame_step(scene: Scene, cfg: RenderConfig):
-    """jit-compile t -> ANSI byte buffer. ``cam_offset`` is a world-frame
-    camera translation driven by arrow keys (extension; reference stub at
-    TerminalRayTracer.c:1196-1215)."""
+def build_frame_step(scene: Scene, cfg: RenderConfig, encode: str = "device"):
+    """jit-compile t -> frame bytes. ``cam_offset`` is a world-frame camera
+    translation driven by arrow keys (extension; reference stub at
+    TerminalRayTracer.c:1196-1215).
+
+    ``encode``: 'device' emits the full ANSI escape buffer from the TPU
+    (one big uint8 copy); 'host' emits the compact (H, W, 3) uint8 frame —
+    ~8.6x less host<->device traffic — and the host expands it with the
+    native C template-patching encoder (csrc/ttrt_native.c)."""
+    from ttrt.term.encoder import encode_rgb_frame
+
+    enc = encode_ansi_frame if encode == "device" else encode_rgb_frame
 
     @jax.jit
     def frame_step(t, cam_offset):
@@ -47,25 +55,37 @@ def build_frame_step(scene: Scene, cfg: RenderConfig):
         frame = frame._replace(origin=frame.origin + cam_offset)
         s = scene.with_camera_frame(frame)
         fb, _ = render_frame(s, cfg)
-        return encode_ansi_frame(fb)
+        return enc(fb)
 
     return frame_step
 
 
 def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   max_frames: int | None = None,
-                  interactive: bool = True) -> float:
+                  interactive: bool = True,
+                  encode: str = "auto",
+                  scene: Scene | None = None) -> float:
     """The reference's infinite frame loop (TerminalRayTracer.c:1315-1366):
-    render, draw, sleep off the frame budget, print fps. Returns the last
+    render, draw, pace to the frame budget, print fps. Returns the last
     measured fps."""
-    skybox = assets.load_skybox(skybox_name, cfg.dtype)
-    scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
-    frame_step = build_frame_step(scene, cfg)
+    from ttrt import native
+    from ttrt.term.encoder import encode_ansi_host
+
+    if encode == "auto":
+        encode = "host" if native.available else "device"
+    if scene is None:
+        skybox = assets.load_skybox(skybox_name, cfg.dtype)
+        scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
+    frame_step = build_frame_step(scene, cfg, encode)
+    host_enc = None
+    if encode == "host" and native.available:
+        host_enc = native.NativeAnsiEncoder(cfg.height, cfg.width)
 
     cam_offset = np.zeros(3, np.float64)
     fps = 0.0
     n = 0
     start = time.monotonic()
+    deadline = None
     with SigintFlag() as sig, TerminalDisplay() as disp, KeyboardInput() as keys:
         while not sig.received and (max_frames is None or n < max_frames):
             t0 = time.monotonic()
@@ -82,19 +102,108 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                     cam_offset[0] -= CAMERA_MOVE_SPEED
                 elif key == "right":
                     cam_offset[0] += CAMERA_MOVE_SPEED
-            buf = frame_step(
+            buf = np.asarray(frame_step(
                 jnp.asarray(t, cfg.dtype), jnp.asarray(cam_offset, cfg.dtype)
-            )
-            disp.write_frame(np.asarray(buf))
+            ))
+            if encode == "host":
+                if host_enc is not None:
+                    disp.write_frame(host_enc.encode(buf))
+                else:
+                    disp.write_frame(encode_ansi_host(buf))
+            else:
+                disp.write_frame(buf)
 
-            # frame pacing (TerminalRayTracer.c:1350-1355)
-            elapsed = time.monotonic() - t0
+            # drift-free pacing: absolute deadlines advance by the budget
+            # (reference: relative nanosleep, TerminalRayTracer.c:1350-1355)
             budget = cfg.frame_duration
-            if budget > elapsed:
-                time.sleep(budget - elapsed)
+            now = time.monotonic()
+            deadline = (now if deadline is None else deadline) + budget
+            if deadline < now:  # fell behind: resync, don't death-spiral
+                deadline = now
+            native.sleep_until(deadline)
             fps = 1.0 / max(time.monotonic() - t0, 1e-9)
             disp.write_fps(fps)
             n += 1
+    return fps
+
+
+def run_physics(cfg: RenderConfig, skybox_name: str = "colors",
+                max_frames: int | None = None, interactive: bool = True,
+                encode: str = "auto",
+                checkpoint: str | None = None) -> float:
+    """Physics tier: GJK-stepped bouncing spheres fused with the render
+    loop; optional checkpoint/resume of the state pytree."""
+    from ttrt import native
+    from ttrt.physics.demo import (
+        build_physics_demo,
+        build_physics_frame_step,
+        load_checkpoint,
+        save_checkpoint,
+    )
+    from ttrt.term.encoder import encode_ansi_host
+
+    if encode == "auto":
+        encode = "host" if native.available else "device"
+    skybox = assets.load_skybox(skybox_name, cfg.dtype)
+    scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
+    state, params = build_physics_demo(scene, cfg.dtype)
+    if checkpoint:
+        resumed = load_checkpoint(checkpoint, state)
+        if resumed is not None:
+            state = resumed
+            log(f"resumed physics state at t={float(state.t):.2f}s")
+    frame_step = build_physics_frame_step(scene, cfg, params, encode)
+    host_enc = (
+        native.NativeAnsiEncoder(cfg.height, cfg.width)
+        if encode == "host" and native.available
+        else None
+    )
+
+    cam_offset = np.zeros(3, np.float64)
+    fps = 0.0
+    n = 0
+    deadline = None
+    try:
+        with SigintFlag() as sig, TerminalDisplay() as disp, \
+                KeyboardInput() as keys:
+            while not sig.received and (max_frames is None or n < max_frames):
+                t0 = time.monotonic()
+                if interactive:
+                    key = keys.poll()
+                    if key == "quit":
+                        break
+                    elif key == "up":
+                        cam_offset[1] += CAMERA_MOVE_SPEED
+                    elif key == "down":
+                        cam_offset[1] -= CAMERA_MOVE_SPEED
+                    elif key == "left":
+                        cam_offset[0] -= CAMERA_MOVE_SPEED
+                    elif key == "right":
+                        cam_offset[0] += CAMERA_MOVE_SPEED
+                state, buf = frame_step(
+                    state, jnp.asarray(cam_offset, cfg.dtype)
+                )
+                buf = np.asarray(buf)
+                if encode == "host":
+                    if host_enc is not None:
+                        disp.write_frame(host_enc.encode(buf))
+                    else:
+                        disp.write_frame(encode_ansi_host(buf))
+                else:
+                    disp.write_frame(buf)
+                budget = cfg.frame_duration
+                now = time.monotonic()
+                deadline = (now if deadline is None else deadline) + budget
+                if deadline < now:
+                    deadline = now
+                native.sleep_until(deadline)
+                fps = 1.0 / max(time.monotonic() - t0, 1e-9)
+                disp.write_fps(fps)
+                n += 1
+    finally:
+        if checkpoint:
+            save_checkpoint(checkpoint, state)
+            log(f"saved physics checkpoint to {checkpoint}")
     return fps
 
 
@@ -145,12 +254,34 @@ def main(argv=None) -> int:
                    help="scene time for --still")
     p.add_argument("--f64", action="store_true",
                    help="float64 compute (parity/CPU; slow on TPU)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (dev/tests; overrides the "
+                        "image's TPU autoselection)")
     p.add_argument("--no-input", action="store_true",
                    help="disable keyboard camera controls")
+    p.add_argument(
+        "--scene", choices=["demo", "many", "physics"], default="demo",
+        help="demo: the reference's 6-sphere scene; many: 10k spheres + "
+             "triangle-mesh floor through the uniform grid; physics: GJK "
+             "bouncing spheres",
+    )
+    p.add_argument("--n-spheres", type=int, default=10_000,
+                   help="sphere count for --scene many")
+    p.add_argument("--checkpoint", default=None,
+                   help="physics state checkpoint path (save on exit, "
+                        "resume on start)")
+    p.add_argument(
+        "--encode", choices=["auto", "device", "host"], default="auto",
+        help="ANSI encode location: on-device (full escape buffer over the "
+             "link) or host (compact RGB + native C encoder); auto picks "
+             "host when the native runtime is available",
+    )
     args = p.parse_args(argv)
 
     if args.spp < 1 or args.width < 1 or args.height < 1 or args.bounces < 1:
         p.error("--width/--height/--spp/--bounces must be >= 1")
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
         jax.config.update("jax_enable_x64", True)
@@ -163,8 +294,23 @@ def main(argv=None) -> int:
         if args.still:
             render_still(cfg, args.skybox, args.time, args.still)
             return 0
+        if args.scene == "physics":
+            run_physics(cfg, args.skybox, args.frames,
+                        interactive=not args.no_input, encode=args.encode,
+                        checkpoint=args.checkpoint)
+            return 0
+        scene = None
+        if args.scene == "many":
+            from ttrt.mesh import many_sphere_scene
+
+            skybox = assets.load_skybox(args.skybox, cfg.dtype)
+            scene = many_sphere_scene(
+                skybox, n_spheres=args.n_spheres,
+                width_px=cfg.width, height_px=cfg.height, dtype=cfg.dtype,
+            )
         run_animation(cfg, args.skybox, args.frames,
-                      interactive=not args.no_input)
+                      interactive=not args.no_input, encode=args.encode,
+                      scene=scene)
     except assets.AssetError as e:
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1

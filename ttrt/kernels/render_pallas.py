@@ -1,0 +1,627 @@
+"""Pallas TPU render kernel: the full bounce loop per VMEM-resident ray tile.
+
+Why a hand-written kernel beats the fused-XLA path (ttrt.render.integrator):
+the XLA `lax.while_loop` carries ~20 state arrays of H*W*spp lanes through
+HBM on EVERY bounce iteration — >200 MB of round-trip traffic per iteration
+at the reference workload, which makes the renderer HBM-bound. This kernel
+tiles the flat ray batch into (TILE_R, 128) blocks and runs the ENTIRE
+masked bounce loop (primary trace + shadow traces + shading + reflection)
+on one tile while its state lives in VMEM/registers. HBM traffic collapses
+to: scene scalars in (SMEM), per-ray results out (16 bytes/ray).
+
+Rays are not even streamed in: the kernel derives each lane's (row, col,
+sample) from `program_id` + iota and generates the primary ray in-kernel,
+reproducing the reference's deterministic triangle-wave AA offsets
+(TerminalRayTracer.c:978-1011).
+
+The ONE per-lane memory op the tracer needs — the skybox texel gather
+(get_skybox_color, TerminalRayTracer.c:700-789) — is deferred out of the
+kernel: a ray reaches the sky at most once, as its final contribution, so
+the kernel computes the flat texel INDEX and the contribution WEIGHT at sky
+termination and the caller performs a single XLA gather over the ray batch
+afterwards. This keeps Mosaic's limited dynamic-gather support off the hot
+path entirely (same trick as the fused-XLA integrator, SURVEY.md §3.3).
+
+Semantics are the reference's exactly — same op order as the jnp oracle in
+ttrt.render (which golden-tests against the compiled C): sphere/plane
+intersection quirks (TerminalRayTracer.c:638-695), EPSILON back-offset
+(:870-874), checker parity (:850), un-clamped-below n.l (:911,:945), the
+point-light occlusion comparison (:937-942), contribution-weighted bounce
+accumulation (:1012-1065).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ttrt.config import RenderConfig, constants
+from ttrt.render.skybox import CUBEMAP_AXES, U_AXIS, V_AXIS
+from ttrt.scene import Scene
+from ttrt.vec import Vec3
+
+# Tile geometry: (TILE_R, 128) rays per grid step. 8 sublane-groups of f32.
+TILE_R = 32
+LANES = 128
+TILE = TILE_R * LANES
+
+_F32_MAX = float(np.finfo(np.float32).max)
+
+
+# ---------------------------------------------------------------------------
+# Scene packing: pytree scene -> flat f32 arrays for SMEM
+# ---------------------------------------------------------------------------
+
+
+class PackedScene(NamedTuple):
+    """Flat scalar views of the scene for SMEM prefetch. All f32 (or the
+    config dtype); static counts live in the kernel closure."""
+
+    cam: jnp.ndarray  # (15,) bx3 by3 bz3 origin3 sz sw sh
+    spheres: jnp.ndarray  # (n_spheres*8,) cx cy cz r cr cg cb refl
+    plane: jnp.ndarray  # (14,) p3 n3 even(rgb,refl) odd(rgb,refl)
+    dlights: jnp.ndarray  # (n_dl*6,) normalized -dir (guarded) 3, color 3
+    plights: jnp.ndarray  # (n_pl*7,) pos3 color3 intensity
+
+
+def pack_scene(scene: Scene, dtype) -> PackedScene:
+    """Flatten the scene pytree into the SMEM layout. The directional-light
+    direction is pre-negated + guard-normalized here (scalar math, identical
+    bits to the in-loop normalize at TerminalRayTracer.c:905)."""
+    cam = scene.camera
+    f = cam.frame
+    cam_flat = jnp.concatenate(
+        [
+            f.basis.reshape(-1).astype(dtype),  # rows: bx, by, bz
+            f.origin.astype(dtype),
+            jnp.stack(
+                [
+                    -cam.screen_distance.astype(dtype),
+                    cam.screen_width.astype(dtype),
+                    cam.screen_height.astype(dtype),
+                ]
+            ),
+        ]
+    )
+
+    sph = scene.spheres
+    sph_flat = jnp.stack(
+        [
+            sph.center.x,
+            sph.center.y,
+            sph.center.z,
+            sph.radius,
+            sph.material.color.x,
+            sph.material.color.y,
+            sph.material.color.z,
+            sph.material.reflectivity,
+        ],
+        axis=-1,
+    ).reshape(-1).astype(dtype)
+
+    g = scene.ground
+    plane_flat = jnp.stack(
+        [
+            g.point.x, g.point.y, g.point.z,
+            g.normal.x, g.normal.y, g.normal.z,
+            g.even_material.color.x, g.even_material.color.y,
+            g.even_material.color.z, g.even_material.reflectivity,
+            g.odd_material.color.x, g.odd_material.color.y,
+            g.odd_material.color.z, g.odd_material.reflectivity,
+        ]
+    ).astype(dtype)
+
+    dl = scene.directional_lights
+    neg = Vec3(-dl.direction.x, -dl.direction.y, -dl.direction.z)
+    ndir = neg.normalize()  # guarded (TerminalRayTracer.c:444)
+    dl_flat = jnp.stack(
+        [ndir.x, ndir.y, ndir.z, dl.color.x, dl.color.y, dl.color.z],
+        axis=-1,
+    ).reshape(-1).astype(dtype)
+
+    pls = scene.point_lights
+    pl_flat = jnp.stack(
+        [
+            pls.position.x, pls.position.y, pls.position.z,
+            pls.color.x, pls.color.y, pls.color.z, pls.intensity,
+        ],
+        axis=-1,
+    ).reshape(-1).astype(dtype)
+
+    return PackedScene(cam_flat, sph_flat, plane_flat, dl_flat, pl_flat)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel math (operates on (TILE_R, 128) arrays + traced scalars)
+# ---------------------------------------------------------------------------
+
+
+def _normalize3(x, y, z):
+    """Guarded normalize (TerminalRayTracer.c:439-450): identity when the
+    length is <= 1e-4."""
+    length = jnp.sqrt(x * x + y * y + z * z)
+    ok = length > constants.NORMALIZE_GUARD
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, length, 1.0), 1.0)
+    return x * inv, y * inv, z * inv
+
+
+class _TraceOut(NamedTuple):
+    is_hit: jnp.ndarray  # bool
+    px: jnp.ndarray  # EPSILON-offset hit point (miss: ray origin)
+    py: jnp.ndarray
+    pz: jnp.ndarray
+    nx: jnp.ndarray  # normalized hit normal (miss: ray direction)
+    ny: jnp.ndarray
+    nz: jnp.ndarray
+    cr: jnp.ndarray  # material color (miss lanes: garbage, masked out)
+    cg: jnp.ndarray
+    cb: jnp.ndarray
+    refl: jnp.ndarray  # reflectivity (miss: 0)
+
+
+def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
+    """Nearest-hit trace of one ray tile against all spheres + the ground
+    plane (trace_ray, TerminalRayTracer.c:793-889). ``sph_vals`` is a list
+    of 8-tuples of traced scalars; the object scan unrolls as a masked
+    running-min (spheres first, then ground — same order/ties as the C)."""
+    shape = ox.shape
+    dtype = ox.dtype
+    best_sq = jnp.full(shape, _F32_MAX, dtype)
+    hit_any = jnp.zeros(shape, jnp.bool_)
+    bpx = jnp.zeros(shape, dtype)
+    bpy = jnp.zeros(shape, dtype)
+    bpz = jnp.zeros(shape, dtype)
+    bnx = jnp.zeros(shape, dtype)
+    bny = jnp.zeros(shape, dtype)
+    bnz = jnp.zeros(shape, dtype)
+    bcr = jnp.zeros(shape, dtype)
+    bcg = jnp.zeros(shape, dtype)
+    bcb = jnp.zeros(shape, dtype)
+    brefl = jnp.zeros(shape, dtype)
+
+    a = dx * dx + dy * dy + dz * dz  # shared across spheres
+
+    for (cx, cy, cz, r, scr, scg, scb, srefl) in sph_vals:
+        ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+        b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * a * c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0 = (-b - sq) / (2.0 * a)
+        hit = (disc >= 0.0) & (t0 > 0.0)
+        px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
+        tx, ty, tz = ox - px, oy - py, oz - pz
+        sqd = tx * tx + ty * ty + tz * tz
+        take = hit & (sqd < best_sq)
+        best_sq = jnp.where(take, sqd, best_sq)
+        hit_any = hit_any | take
+        bpx = jnp.where(take, px, bpx)
+        bpy = jnp.where(take, py, bpy)
+        bpz = jnp.where(take, pz, bpz)
+        bnx = jnp.where(take, px - cx, bnx)
+        bny = jnp.where(take, py - cy, bny)
+        bnz = jnp.where(take, pz - cz, bnz)
+        bcr = jnp.where(take, scr, bcr)
+        bcg = jnp.where(take, scg, bcg)
+        bcb = jnp.where(take, scb, bcb)
+        brefl = jnp.where(take, srefl, brefl)
+
+    # Ground plane (TerminalRayTracer.c:830-853)
+    (ppx, ppy, ppz, pnx, pny, pnz,
+     ecr, ecg, ecb, erefl, ocr_, ocg_, ocb_, orefl) = plane_vals
+    denom = dx * pnx + dy * pny + dz * pnz
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    t = ((ppx - ox) * pnx + (ppy - oy) * pny + (ppz - oz) * pnz) / safe
+    phit = (jnp.abs(denom) > constants.PLANE_DENOM_EPS) & (
+        t > constants.PLANE_T_EPS
+    )
+    px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+    tx, ty, tz = ox - px, oy - py, oz - pz
+    sqd = tx * tx + ty * ty + tz * tz
+    take = phit & (sqd < best_sq)
+    parity = (jnp.floor(px) + jnp.floor(pz)).astype(jnp.int32) & 1
+    odd = parity == 1
+    hit_any = hit_any | take
+    bpx = jnp.where(take, px, bpx)
+    bpy = jnp.where(take, py, bpy)
+    bpz = jnp.where(take, pz, bpz)
+    bnx = jnp.where(take, pnx, bnx)
+    bny = jnp.where(take, pny, bny)
+    bnz = jnp.where(take, pnz, bnz)
+    bcr = jnp.where(take, jnp.where(odd, ocr_, ecr), bcr)
+    bcg = jnp.where(take, jnp.where(odd, ocg_, ecg), bcg)
+    bcb = jnp.where(take, jnp.where(odd, ocb_, ecb), bcb)
+    brefl = jnp.where(take, jnp.where(odd, orefl, erefl), brefl)
+
+    # hit fixups (TerminalRayTracer.c:858-886): EPSILON back-offset through a
+    # guarded normalize; on miss point = origin, normal = direction.
+    tox, toy, toz = _normalize3(ox - bpx, oy - bpy, oz - bpz)
+    eps = constants.EPSILON
+    hpx = bpx + tox * eps
+    hpy = bpy + toy * eps
+    hpz = bpz + toz * eps
+    px = jnp.where(hit_any, hpx, ox)
+    py = jnp.where(hit_any, hpy, oy)
+    pz = jnp.where(hit_any, hpz, oz)
+    nx, ny, nz = _normalize3(
+        jnp.where(hit_any, bnx, dx),
+        jnp.where(hit_any, bny, dy),
+        jnp.where(hit_any, bnz, dz),
+    )
+    refl = jnp.where(hit_any, brefl, 0.0)
+    return _TraceOut(hit_any, px, py, pz, nx, ny, nz, bcr, bcg, bcb, refl)
+
+
+def _apply_lighting(
+    px, py, pz, nx, ny, nz, mcr, mcg, mcb,
+    dl_vals, pl_vals, sph_vals, plane_vals,
+):
+    """Diffuse shading with shadow traces (apply_lighting,
+    TerminalRayTracer.c:894-963). Returns lit (r, g, b) clamped to [0,1]."""
+    outr = jnp.zeros_like(px)
+    outg = jnp.zeros_like(px)
+    outb = jnp.zeros_like(px)
+
+    for (lx, ly, lz, lcr, lcg, lcb) in dl_vals:
+        shadow = _trace(px, py, pz,
+                        jnp.full_like(px, lx), jnp.full_like(px, ly),
+                        jnp.full_like(px, lz), sph_vals, plane_vals)
+        unblocked = ~shadow.is_hit
+        ndotl = jnp.minimum(nx * lx + ny * ly + nz * lz, 1.0)  # fmin only
+        outr = outr + jnp.where(unblocked, lcr * ndotl * mcr, 0.0)
+        outg = outg + jnp.where(unblocked, lcg * ndotl * mcg, 0.0)
+        outb = outb + jnp.where(unblocked, lcb * ndotl * mcb, 0.0)
+
+    for (lpx, lpy, lpz, lcr, lcg, lcb, inten) in pl_vals:
+        lvx, lvy, lvz = lpx - px, lpy - py, lpz - pz
+        light_d2 = lvx * lvx + lvy * lvy + lvz * lvz
+        intensity = jnp.minimum(jnp.maximum(inten / light_d2, 0.0), 1.0)
+        ldx, ldy, ldz = _normalize3(lvx, lvy, lvz)
+        shadow = _trace(px, py, pz, ldx, ldy, ldz, sph_vals, plane_vals)
+        # on miss the shadow hit point is the origin -> block_d2 = 0, but the
+        # is_hit==False arm wins first (TerminalRayTracer.c:937-942).
+        bx_, by_, bz_ = shadow.px - px, shadow.py - py, shadow.pz - pz
+        block_d2 = bx_ * bx_ + by_ * by_ + bz_ * bz_
+        lit = (~shadow.is_hit) | (light_d2 < block_d2)
+        ndotl = jnp.minimum(nx * ldx + ny * ldy + nz * ldz, 1.0)
+        scale = intensity * ndotl
+        outr = outr + jnp.where(lit, lcr * scale * mcr, 0.0)
+        outg = outg + jnp.where(lit, lcg * scale * mcg, 0.0)
+        outb = outb + jnp.where(lit, lcb * scale * mcb, 0.0)
+
+    clamp01 = lambda v: jnp.minimum(jnp.maximum(v, 0.0), 1.0)
+    return clamp01(outr), clamp01(outg), clamp01(outb)  # c:960
+
+
+def _sky_texel_index(dx, dy, dz, dim: int):
+    """Flat skybox texel index for a direction tile (get_skybox_color,
+    TerminalRayTracer.c:700-789) with the per-face uv fixups folded into the
+    U_AXIS/V_AXIS tables (ttrt.render.skybox). Branch-free: the 6-way face
+    select is an unrolled masked max; axis/uv tables are baked Python
+    constants selected by where-chains."""
+    ddx, ddy, ddz = _normalize3(dx, dy, dz)
+
+    best = None
+    face = None
+    for f in range(6):
+        ax, ay, az = (float(v) for v in CUBEMAP_AXES[f])
+        d = ddx * ax + ddy * ay + ddz * az
+        if best is None:
+            best, face = d, jnp.zeros_like(dx, jnp.int32)
+        else:
+            m = d > best
+            best = jnp.where(m, d, best)
+            face = jnp.where(m, f, face)
+
+    inv = 1.0 / best
+    sx, sy, sz = ddx * inv, ddy * inv, ddz * inv
+
+    # per-face constants via where-chains (face is int32 tile)
+    def sel(table_col):
+        out = jnp.full_like(dx, float(table_col[0]))
+        for f in range(1, 6):
+            out = jnp.where(face == f, float(table_col[f]), out)
+        return out
+
+    axx, axy, axz = sel(CUBEMAP_AXES[:, 0]), sel(CUBEMAP_AXES[:, 1]), sel(CUBEMAP_AXES[:, 2])
+    # C recomputes t = dot(scaled, axis) (TerminalRayTracer.c:720)
+    t2 = sx * axx + sy * axy + sz * axz
+    ox_ = (sx - t2 * axx) * 0.5
+    oy_ = (sy - t2 * axy) * 0.5
+    oz_ = (sz - t2 * axz) * 0.5
+
+    u = ox_ * sel(U_AXIS[:, 0]) + oy_ * sel(U_AXIS[:, 1]) + oz_ * sel(U_AXIS[:, 2])
+    v = ox_ * sel(V_AXIS[:, 0]) + oy_ * sel(V_AXIS[:, 1]) + oz_ * sel(V_AXIS[:, 2])
+    u = jnp.minimum(jnp.maximum(u, -0.5), 0.5)
+    v = jnp.minimum(jnp.maximum(v, -0.5), 0.5)
+    ui = jnp.minimum(((u + 0.5) * dim).astype(jnp.int32), dim - 1)
+    vi = jnp.minimum(((v + 0.5) * dim).astype(jnp.int32), dim - 1)
+    return face * (dim * dim) + vi * dim + ui
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _read_tuples(ref, n: int, width: int) -> list:
+    """Read n groups of `width` scalars from a flat SMEM ref."""
+    return [
+        tuple(ref[i * width + j] for j in range(width)) for i in range(n)
+    ]
+
+
+def _render_kernel(
+    cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
+    pix_r_ref, pix_g_ref, pix_b_ref, total_ref,  # VMEM per-ray outputs
+    sky_idx_ref, sky_w_ref, count_ref,  # VMEM / SMEM outputs
+    *,
+    cfg: RenderConfig,
+    n_spheres: int,
+    n_dl: int,
+    n_pl: int,
+    sky_dim: int,
+):
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    n_rays = W * H * N
+
+    # --- ray generation from the lane index (TerminalRayTracer.c:978-1011)
+    step = pl.program_id(0)
+    base = step * TILE
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 1)
+    )
+    idx = base + lane
+    # padding lanes (flat index beyond the ray batch) start dead: they do no
+    # work in the bounce loop and never pollute the trace count.
+    lane_valid = idx < n_rays
+    k = (idx % N).astype(jnp.float32)
+    pix = idx // N
+    col = (pix % W).astype(jnp.float32)
+    row = (pix // W).astype(jnp.float32)
+
+    bx0, bx1, bx2 = cam_ref[0], cam_ref[1], cam_ref[2]
+    by0, by1, by2 = cam_ref[3], cam_ref[4], cam_ref[5]
+    bz0, bz1, bz2 = cam_ref[6], cam_ref[7], cam_ref[8]
+    cox, coy, coz = cam_ref[9], cam_ref[10], cam_ref[11]
+    szc, sw, sh = cam_ref[12], cam_ref[13], cam_ref[14]
+
+    pixel_w = sw / W
+    pixel_h = sh / H
+
+    # triangle-wave AA jitter (TerminalRayTracer.c:225-228, 992-993)
+    def tri(t):
+        m = jnp.mod(t, 2.0 * constants.PI)
+        return jnp.where(
+            m < constants.PI, m / constants.PI, 2.0 - m / constants.PI
+        )
+
+    jit_x = tri(2.0 * constants.PI * k / N) / 2.0 * pixel_w
+    jit_y = tri(constants.PI * k / N) / 2.0 * pixel_h
+    sxv = (col / W) * sw - sw / 2.0 + jit_x
+    syv = -((row / H) * sh - sh / 2.0) + jit_y
+
+    # reference quirk: direction = screen offset in basis - camera ORIGIN
+    # (TerminalRayTracer.c:1005)
+    dx, dy, dz = _normalize3(
+        sxv * bx0 + syv * by0 + szc * bz0 - cox,
+        sxv * bx1 + syv * by1 + szc * bz1 - coy,
+        sxv * bx2 + syv * by2 + szc * bz2 - coz,
+    )
+    ox = jnp.full_like(dx, cox)
+    oy = jnp.full_like(dx, coy)
+    oz = jnp.full_like(dx, coz)
+
+    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
+    plane_vals = tuple(plane_ref[i] for i in range(14))
+    dl_vals = _read_tuples(dl_ref, n_dl, 6)
+    pl_vals = _read_tuples(pl_ref, n_pl, 7)
+
+    # --- masked bounce loop (project_scene, TerminalRayTracer.c:1012-1057)
+    def cond(s):
+        # s[0] = bounce counter, s[-1] = any-lane-alive scalar
+        return (s[0] < cfg.bounce_limit) & s[-1]
+
+    def body(s):
+        (i, ox_, oy_, oz_, dx_, dy_, dz_, pr, pg, pb, contrib, total,
+         going, sdx, sdy, sdz, sw_, count, _any) = s
+        # `going` rides the carry as int32 (Mosaic can't round-trip i1
+        # vectors through loop state); compare back to a mask here.
+        alive = (going != 0) & (contrib > constants.CONTRIBUTION_EPS)
+
+        hit = _trace(ox_, oy_, oz_, dx_, dy_, dz_, sph_vals, plane_vals)
+        miss_now = alive & ~hit.is_hit
+
+        lr, lg, lb = _apply_lighting(
+            hit.px, hit.py, hit.pz, hit.nx, hit.ny, hit.nz,
+            hit.cr, hit.cg, hit.cb, dl_vals, pl_vals, sph_vals, plane_vals,
+        )
+        # miss lanes contribute 0 in-loop; sky color added post-gather
+        aw = jnp.where(alive, contrib, 0.0)
+        hw = jnp.where(hit.is_hit, aw, 0.0)
+        pr = pr + hw * lr
+        pg = pg + hw * lg
+        pb = pb + hw * lb
+        total = total + aw
+
+        sw_n = jnp.where(miss_now, contrib, sw_)
+        sdx_n = jnp.where(miss_now, dx_, sdx)
+        sdy_n = jnp.where(miss_now, dy_, sdy)
+        sdz_n = jnp.where(miss_now, dz_, sdz)
+
+        contrib_n = jnp.where(
+            alive,
+            jnp.where(hit.is_hit, contrib * hit.refl, 0.0),
+            contrib,
+        )
+        going_n = jnp.where(alive, hit.is_hit.astype(jnp.int32), going)
+
+        # reflect off the hit normal (TerminalRayTracer.c:1054-1056)
+        dn = 2.0 * (dx_ * hit.nx + dy_ * hit.ny + dz_ * hit.nz)
+        rdx, rdy, rdz = _normalize3(
+            dx_ - dn * hit.nx, dy_ - dn * hit.ny, dz_ - dn * hit.nz
+        )
+
+        # per-lane trace accounting, packed bounces | hits<<8 (both <= 255):
+        # summed on the host side into the honest Mrays/s counter.
+        count_n = count + alive.astype(jnp.int32) + (
+            (alive & hit.is_hit).astype(jnp.int32) << 8
+        )
+
+        alive_next = (going_n != 0) & (contrib_n > constants.CONTRIBUTION_EPS)
+        return (
+            i + 1, hit.px, hit.py, hit.pz, rdx, rdy, rdz, pr, pg, pb,
+            contrib_n, total, going_n, sdx_n, sdy_n, sdz_n, sw_n, count_n,
+            jnp.any(alive_next),
+        )
+
+    zero = jnp.zeros_like(dx)
+    init = (
+        jnp.asarray(0, jnp.int32), ox, oy, oz, dx, dy, dz,
+        zero, zero, zero,  # pixel accumulators
+        jnp.ones_like(dx),  # contribution
+        zero,  # total
+        lane_valid.astype(jnp.int32),  # still_going (padding starts dead)
+        dx, dy, dz,  # sky dir (weight 0 until a miss records it)
+        zero,  # sky weight
+        jnp.zeros_like(idx),  # per-lane packed trace counters
+        jnp.asarray(True),  # any alive
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    (_, _, _, _, _, _, _, pr, pg, pb, _, total, _, sdx, sdy, sdz, sw_,
+     count, _) = out
+
+    pix_r_ref[0] = pr
+    pix_g_ref[0] = pg
+    pix_b_ref[0] = pb
+    total_ref[0] = total
+    sky_idx_ref[0] = _sky_texel_index(sdx, sdy, sdz, sky_dim)
+    sky_w_ref[0] = sw_
+    count_ref[0] = count
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_spheres", "n_dl", "n_pl", "sky_dim",
+                              "interpret")
+)
+def _render_rays_pallas(
+    packed: PackedScene,
+    skybox_flat: jnp.ndarray,
+    cfg: RenderConfig,
+    n_spheres: int,
+    n_dl: int,
+    n_pl: int,
+    sky_dim: int,
+    interpret: bool = False,
+):
+    n_rays = cfg.width * cfg.height * cfg.rays_per_pixel
+    n_tiles = pl.cdiv(n_rays, TILE)
+
+    kernel = functools.partial(
+        _render_kernel,
+        cfg=cfg,
+        n_spheres=n_spheres,
+        n_dl=n_dl,
+        n_pl=n_pl,
+        sky_dim=sky_dim,
+    )
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_out = lambda dt: (
+        jax.ShapeDtypeStruct((n_tiles, TILE_R, LANES), dt),
+        pl.BlockSpec((1, TILE_R, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    shapes_specs = [
+        tile_out(jnp.float32),  # pix_r
+        tile_out(jnp.float32),  # pix_g
+        tile_out(jnp.float32),  # pix_b
+        tile_out(jnp.float32),  # total
+        tile_out(jnp.int32),  # sky_idx
+        tile_out(jnp.float32),  # sky_w
+        tile_out(jnp.int32),  # packed per-lane trace counters
+    ]
+    out_shape = [s for s, _ in shapes_specs]
+    out_specs = [sp for _, sp in shapes_specs]
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=out_shape,
+        in_specs=[smem() for _ in range(5)],
+        out_specs=out_specs,
+        interpret=interpret,
+    )(packed.cam, packed.spheres, packed.plane, packed.dlights,
+      packed.plights)
+
+    pr, pg, pb, total, sky_idx, sky_w, counts = outs
+
+    def flat(a):
+        return a.reshape(-1)[:n_rays]
+
+    # deferred skybox gather + final normalization (one XLA gather; texels
+    # are packed 0x00RRGGBB so it is a single 4-byte fetch per ray)
+    texel = jnp.take(skybox_flat, flat(sky_idx))
+    c255 = jnp.asarray(255.0, jnp.float32)
+    skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
+    skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
+    skb = (texel & 0xFF).astype(jnp.float32) / c255
+
+    w = flat(sky_w)
+    inv_total = 1.0 / flat(total)
+    color = Vec3(
+        (flat(pr) + w * skr) * inv_total,
+        (flat(pg) + w * skg) * inv_total,
+        (flat(pb) + w * skb) * inv_total,
+    )
+    # unpack per-lane counters: traces = bounces + hits * n_lights
+    stats = flat(counts)
+    bounces = (stats & 0xFF).astype(jnp.uint32)
+    hits = ((stats >> 8) & 0xFF).astype(jnp.uint32)
+    n_lights = jnp.uint32(n_dl + n_pl)
+    ray_count = (bounces + hits * n_lights).sum(dtype=jnp.uint32)
+    return color, ray_count
+
+
+def render_frame_pallas(
+    scene: Scene, cfg: RenderConfig, *, interpret: bool = False
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Drop-in replacement for ttrt.render.integrator.render_frame on the
+    Pallas path: returns the (H, W) framebuffer Vec3 + trace count.
+
+    Restrictions vs the fused-XLA path: float32 only, nearest-neighbor
+    skybox (the reference's semantics; bilinear is an extension served by
+    the XLA path)."""
+    if cfg.dtype != jnp.float32:
+        raise ValueError("pallas path is float32-only")
+    if cfg.skybox_bilinear:
+        raise ValueError("pallas path implements nearest-neighbor skybox")
+    packed = pack_scene(scene, jnp.float32)
+    color, count = _render_rays_pallas(
+        packed,
+        scene.skybox.packed.reshape(-1),
+        cfg,
+        scene.spheres.count,
+        scene.directional_lights.count,
+        scene.point_lights.count,
+        scene.skybox.dim,
+        interpret,
+    )
+    H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
+
+    def avg(c):
+        return c.reshape(H, W, N).sum(axis=-1) * (1.0 / N)
+
+    return Vec3(avg(color.x), avg(color.y), avg(color.z)), count

@@ -1,0 +1,384 @@
+"""Batched GJK distance queries between convex bodies.
+
+Reference roadmap item: "GJK collision detection" (README.md:21) — no code
+exists in the reference; this is a from-scratch TPU-first design:
+
+  - EVERY pair in a batch runs in lockstep: the simplex is a fixed (4,3)
+    register block per lane, the iteration count is a fixed bound with a
+    per-lane converged mask, and the distance subalgorithm (closest point
+    to the origin on a k-simplex) is straight-line barycentric arithmetic
+    with `where`-selects over the simplex size — no branches, no stacks.
+  - Shapes are support functions. Spheres are handled the standard GJK
+    way: run on the POINT cores and subtract the radii margin afterwards
+    (exact for spheres, one iteration). Convex polytopes (boxes, hulls)
+    use an argmax-dot support over their vertex lists — a matmul, which
+    XLA places on the MXU for large batches.
+
+The public entry is ``gjk_distance(sa, sb)``: signed distance (negative =
+penetrating, clamped at -margin for deep overlap of margin shapes) plus
+the closest-axis direction, which physics uses as the contact normal.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ttrt.vec import Vec3
+
+_EPS = 1e-10
+MAX_ITERS = 20
+
+
+class Support(NamedTuple):
+    """A batch of convex bodies as a support function + margin.
+
+    ``fn(d: Vec3) -> Vec3`` maps a direction batch to the farthest CORE
+    point of each body along it; ``margin`` (per-lane) inflates the core
+    by a sphere (0 for hard polytopes, radius for spheres)."""
+
+    fn: Callable[[Vec3], Vec3]
+    margin: jnp.ndarray
+
+
+def sphere_support(center: Vec3, radius) -> Support:
+    """Sphere = point core + radius margin."""
+    def fn(d: Vec3) -> Vec3:
+        return Vec3(
+            jnp.broadcast_to(center.x, d.x.shape),
+            jnp.broadcast_to(center.y, d.y.shape),
+            jnp.broadcast_to(center.z, d.z.shape),
+        )
+
+    return Support(fn, jnp.asarray(radius))
+
+
+def polytope_support(verts: jnp.ndarray) -> Support:
+    """Convex polytope from vertices (..., V, 3): support = argmax-dot
+    vertex. The dot products are one (batch, V) contraction — MXU work for
+    large batches."""
+    vx, vy, vz = verts[..., 0], verts[..., 1], verts[..., 2]
+
+    def fn(d: Vec3) -> Vec3:
+        dots = (
+            vx * d.x[..., None] + vy * d.y[..., None] + vz * d.z[..., None]
+        )
+        i = jnp.argmax(dots, axis=-1)
+        return Vec3(
+            jnp.take_along_axis(vx, i[..., None], -1)[..., 0],
+            jnp.take_along_axis(vy, i[..., None], -1)[..., 0],
+            jnp.take_along_axis(vz, i[..., None], -1)[..., 0],
+        )
+
+    return Support(fn, jnp.zeros(verts.shape[:-2], verts.dtype))
+
+
+def _closest_simplex(pts, size):
+    """Closest point to the origin on a simplex of ``size`` (1..4) points.
+
+    pts: tuple of 4 Vec3 (unused slots arbitrary). Returns (closest Vec3,
+    new_pts, new_size): the supporting sub-simplex is compacted to the
+    front. All cases are computed and `where`-selected by size — lockstep
+    lanes never branch.
+    """
+    a, b, c, d = pts
+
+    # --- size 1: the point itself
+    c1 = a
+
+    # --- size 2: segment ab
+    ab = b - a
+    t = -a.dot(ab) / jnp.maximum(ab.dot(ab), _EPS)
+    t = jnp.clip(t, 0.0, 1.0)
+    c2 = Vec3(a.x + t * ab.x, a.y + t * ab.y, a.z + t * ab.z)
+    keep_b2 = t > 0.0  # if closest is interior or at b, keep both/last
+    size2 = jnp.where(t > 0.0, jnp.where(t < 1.0, 2, 1), 1)
+    # compact: if t==1 the support is just b; if t==0 just a
+    first2 = b.where(t >= 1.0, a)
+    second2 = b
+
+    # --- size 3: triangle abc (barycentric region test)
+    ab3 = b - a
+    ac3 = c - a
+    ao = Vec3(-a.x, -a.y, -a.z)
+    d1 = ab3.dot(ao)
+    d2 = ac3.dot(ao)
+    bo = Vec3(-b.x, -b.y, -b.z)
+    d3 = ab3.dot(bo)
+    d4 = ac3.dot(bo)
+    co = Vec3(-c.x, -c.y, -c.z)
+    d5 = ab3.dot(co)
+    d6 = ac3.dot(co)
+
+    vc = d1 * d4 - d3 * d2
+    vb = d5 * d2 - d1 * d6
+    va = d3 * d6 - d5 * d4
+
+    # region A: vertex a
+    in_a = (d1 <= 0.0) & (d2 <= 0.0)
+    # region B: vertex b
+    in_b = (d3 >= 0.0) & (d4 <= d3)
+    # region C: vertex c
+    in_c = (d6 >= 0.0) & (d5 <= d6)
+    # region AB edge
+    in_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+    # region AC edge
+    in_ac = (vb <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
+    # region BC edge
+    in_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
+
+    t_ab = d1 / jnp.where(jnp.abs(d1 - d3) < _EPS, 1.0, d1 - d3)
+    t_ac = d2 / jnp.where(jnp.abs(d2 - d6) < _EPS, 1.0, d2 - d6)
+    t_bc = (d4 - d3) / jnp.where(
+        jnp.abs((d4 - d3) + (d5 - d6)) < _EPS, 1.0, (d4 - d3) + (d5 - d6)
+    )
+    denom = jnp.where(jnp.abs(va + vb + vc) < _EPS, 1.0, va + vb + vc)
+    v_b = vb / denom
+    v_c = vc / denom
+
+    p_ab = Vec3(a.x + t_ab * ab3.x, a.y + t_ab * ab3.y, a.z + t_ab * ab3.z)
+    p_ac = Vec3(a.x + t_ac * ac3.x, a.y + t_ac * ac3.y, a.z + t_ac * ac3.z)
+    bc3 = c - b
+    p_bc = Vec3(b.x + t_bc * bc3.x, b.y + t_bc * bc3.y, b.z + t_bc * bc3.z)
+    p_face = Vec3(
+        a.x + v_b * ab3.x + v_c * ac3.x,
+        a.y + v_b * ab3.y + v_c * ac3.y,
+        a.z + v_b * ab3.z + v_c * ac3.z,
+    )
+
+    # select by priority: vertices, edges, face interior
+    c3 = p_face
+    f3_1, f3_2, f3_3 = a, b, c
+    s3 = jnp.full_like(d1, 3, jnp.int32)
+
+    def pick3(cond, point, p1, p2, sz):
+        nonlocal c3, f3_1, f3_2, f3_3, s3
+        c3 = point.where(cond, c3)
+        f3_1 = p1.where(cond, f3_1)
+        f3_2 = p2.where(cond, f3_2)
+        s3 = jnp.where(cond, sz, s3)
+
+    pick3(in_bc, p_bc, b, c, 2)
+    pick3(in_ac, p_ac, a, c, 2)
+    pick3(in_ab, p_ab, a, b, 2)
+    pick3(in_c, c, c, c, 1)
+    pick3(in_b, b, b, b, 1)
+    pick3(in_a, a, a, a, 1)
+
+    # --- size 4: tetrahedron — test the origin against the 4 faces; if
+    # inside all, distance 0; else recurse into the nearest face's triangle
+    # case (computed for all 4 faces, selected by min distance).
+    def tri_closest(p, q, r):
+        # closest point on triangle pqr to origin (same math as size-3 face)
+        e1 = q - p
+        e2 = r - p
+        po = Vec3(-p.x, -p.y, -p.z)
+        dd1 = e1.dot(po)
+        dd2 = e2.dot(po)
+        qo = Vec3(-q.x, -q.y, -q.z)
+        dd3 = e1.dot(qo)
+        dd4 = e2.dot(qo)
+        ro = Vec3(-r.x, -r.y, -r.z)
+        dd5 = e1.dot(ro)
+        dd6 = e2.dot(ro)
+        vvc = dd1 * dd4 - dd3 * dd2
+        vvb = dd5 * dd2 - dd1 * dd6
+        vva = dd3 * dd6 - dd5 * dd4
+        # vertex regions
+        pa = (dd1 <= 0.0) & (dd2 <= 0.0)
+        pb = (dd3 >= 0.0) & (dd4 <= dd3)
+        pc = (dd6 >= 0.0) & (dd5 <= dd6)
+        tt_ab = dd1 / jnp.where(jnp.abs(dd1 - dd3) < _EPS, 1.0, dd1 - dd3)
+        tt_ac = dd2 / jnp.where(jnp.abs(dd2 - dd6) < _EPS, 1.0, dd2 - dd6)
+        tt_bc = (dd4 - dd3) / jnp.where(
+            jnp.abs((dd4 - dd3) + (dd5 - dd6)) < _EPS, 1.0,
+            (dd4 - dd3) + (dd5 - dd6),
+        )
+        e_ab = (vvc <= 0.0) & (dd1 >= 0.0) & (dd3 <= 0.0)
+        e_ac = (vvb <= 0.0) & (dd2 >= 0.0) & (dd6 <= 0.0)
+        e_bc = (vva <= 0.0) & (dd4 - dd3 >= 0.0) & (dd5 - dd6 >= 0.0)
+        den = jnp.where(jnp.abs(vva + vvb + vvc) < _EPS, 1.0, vva + vvb + vvc)
+        w_b = vvb / den
+        w_c = vvc / den
+        cp = Vec3(
+            p.x + w_b * e1.x + w_c * e2.x,
+            p.y + w_b * e1.y + w_c * e2.y,
+            p.z + w_b * e1.z + w_c * e2.z,
+        )
+        ebc = r - q
+        cp = Vec3(
+            jnp.where(e_bc, q.x + tt_bc * ebc.x, cp.x),
+            jnp.where(e_bc, q.y + tt_bc * ebc.y, cp.y),
+            jnp.where(e_bc, q.z + tt_bc * ebc.z, cp.z),
+        )
+        cp = Vec3(
+            jnp.where(e_ac, p.x + tt_ac * e2.x, cp.x),
+            jnp.where(e_ac, p.y + tt_ac * e2.y, cp.y),
+            jnp.where(e_ac, p.z + tt_ac * e2.z, cp.z),
+        )
+        cp = Vec3(
+            jnp.where(e_ab, p.x + tt_ab * e1.x, cp.x),
+            jnp.where(e_ab, p.y + tt_ab * e1.y, cp.y),
+            jnp.where(e_ab, p.z + tt_ab * e1.z, cp.z),
+        )
+        cp = r.where(pc, cp)
+        cp = q.where(pb, cp)
+        cp = p.where(pa, cp)
+        return cp
+
+    # face normals; origin inside iff on the same side as the opposite vertex
+    def face_sep(p, q, r, opp):
+        n = (q - p).cross(r - p)
+        side_o = n.dot(Vec3(-p.x, -p.y, -p.z))
+        side_opp = n.dot(opp - p)
+        # separated if the origin is on the other side than the 4th vertex
+        return (side_o * side_opp) < 0.0
+
+    sep_abc = face_sep(a, b, c, d)
+    sep_abd = face_sep(a, b, d, c)
+    sep_acd = face_sep(a, c, d, b)
+    sep_bcd = face_sep(b, c, d, a)
+    inside = ~(sep_abc | sep_abd | sep_acd | sep_bcd)
+
+    cp_abc = tri_closest(a, b, c)
+    cp_abd = tri_closest(a, b, d)
+    cp_acd = tri_closest(a, c, d)
+    cp_bcd = tri_closest(b, c, d)
+
+    inf = jnp.full_like(a.x, jnp.inf)
+    d_abc = jnp.where(sep_abc, cp_abc.dot(cp_abc), inf)
+    d_abd = jnp.where(sep_abd, cp_abd.dot(cp_abd), inf)
+    d_acd = jnp.where(sep_acd, cp_acd.dot(cp_acd), inf)
+    d_bcd = jnp.where(sep_bcd, cp_bcd.dot(cp_bcd), inf)
+
+    c4 = cp_abc
+    f4_1, f4_2, f4_3 = a, b, c
+    best = d_abc
+
+    def pick4(dist, point, p1, p2, p3):
+        nonlocal c4, f4_1, f4_2, f4_3, best
+        cond = dist < best
+        c4 = point.where(cond, c4)
+        f4_1 = p1.where(cond, f4_1)
+        f4_2 = p2.where(cond, f4_2)
+        f4_3 = p3.where(cond, f4_3)
+        best = jnp.where(cond, dist, best)
+
+    pick4(d_abd, cp_abd, a, b, d)
+    pick4(d_acd, cp_acd, a, c, d)
+    pick4(d_bcd, cp_bcd, b, c, d)
+
+    zero4 = Vec3.full_like(a, 0.0, 0.0, 0.0)
+    c4 = zero4.where(inside, c4)
+    s4 = jnp.where(inside, 4, 3)
+
+    # --- select by current size
+    is1 = size == 1
+    is2 = size == 2
+    is3 = size == 3
+
+    closest = c1.where(is1, c2.where(is2, c3.where(is3, c4)))
+    n1 = a.where(is1, first2.where(is2, f3_1.where(is3, f4_1)))
+    n2 = a.where(is1, second2.where(is2, f3_2.where(is3, f4_2)))
+    n3 = a.where(is1, a.where(is2, f3_3.where(is3, f4_3)))
+    nsize = jnp.where(
+        is1, 1, jnp.where(is2, size2, jnp.where(is3, s3, s4))
+    ).astype(jnp.int32)
+    return closest, (n1, n2, n3, a), nsize
+
+
+def gjk_distance(sa: Support, sb: Support, x0: Vec3) -> Tuple[jnp.ndarray, Vec3]:
+    """Signed distance between body batches A and B, and the separating
+    direction (unit, from B toward A).
+
+    ``x0``: an initial direction guess per lane (e.g. center difference;
+    any nonzero vector works). Distance is exact for separated/touching
+    margin shapes; for core-penetrating pairs it returns the (negative)
+    margin overlap bound -- sufficient for collision response on sphere
+    margins, where it IS exact."""
+
+    def minkowski_support(d: Vec3) -> Vec3:
+        pa = sa.fn(d)
+        pb = sb.fn(Vec3(-d.x, -d.y, -d.z))
+        return pa - pb
+
+    shape = x0.x.shape
+    d0 = x0.normalize()
+    # guard degenerate zero guess
+    deg = d0.dot(d0) < 0.5
+    d0 = Vec3(
+        jnp.where(deg, 1.0, d0.x),
+        jnp.where(deg, 0.0, d0.y),
+        jnp.where(deg, 0.0, d0.z),
+    )
+    w0 = minkowski_support(d0)
+
+    class S(NamedTuple):
+        it: jnp.ndarray
+        p1: Vec3
+        p2: Vec3
+        p3: Vec3
+        p4: Vec3
+        size: jnp.ndarray
+        closest: Vec3
+        done: jnp.ndarray
+
+    zero = Vec3.full_like(w0, 0.0, 0.0, 0.0)
+    init = S(
+        it=jnp.zeros((), jnp.int32),
+        p1=w0, p2=w0, p3=w0, p4=w0,
+        size=jnp.ones(shape, jnp.int32),
+        closest=w0,
+        done=jnp.zeros(shape, bool),
+    )
+
+    def cond(s: S):
+        return (s.it < MAX_ITERS) & ~jnp.all(s.done)
+
+    def body(s: S) -> S:
+        v = s.closest
+        vlen2 = v.dot(v)
+        # new support toward the origin
+        nd = Vec3(-v.x, -v.y, -v.z)
+        w = minkowski_support(nd)
+        # convergence: no significant progress toward the origin
+        progress = vlen2 - v.dot(w)
+        done_now = s.done | (progress <= 1e-7 * jnp.maximum(vlen2, 1.0)) | (
+            vlen2 < 1e-12
+        )
+
+        # insert w at the front (pts order irrelevant to the subalgorithm)
+        q1, q2, q3, q4 = w, s.p1, s.p2, s.p3
+        qsize = jnp.minimum(s.size + 1, 4)
+
+        closest, (r1, r2, r3, _), rsize = _closest_simplex(
+            (q1, q2, q3, q4), qsize
+        )
+
+        upd = ~done_now
+        return S(
+            it=s.it + 1,
+            p1=r1.where(upd, s.p1),
+            p2=r2.where(upd, s.p2),
+            p3=r3.where(upd, s.p3),
+            p4=q4.where(upd, s.p4),
+            size=jnp.where(upd, rsize, s.size),
+            closest=closest.where(upd, s.closest),
+            done=done_now | (rsize == 4) & upd & (closest.dot(closest) < 1e-12),
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    v = out.closest
+    core_dist = jnp.sqrt(jnp.maximum(v.dot(v), 0.0))
+    margin = sa.margin + sb.margin
+    dist = core_dist - margin
+    # direction from B to A: v points from origin toward A-B's closest point
+    safe = jnp.maximum(core_dist, 1e-12)
+    n = Vec3(v.x / safe, v.y / safe, v.z / safe)
+    # deep overlap (cores intersect): fall back to the initial-guess axis
+    deep = core_dist < 1e-9
+    nx0 = x0.normalize()
+    n = nx0.where(deep, n)
+    return dist, n

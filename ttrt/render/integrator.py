@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from ttrt.config import RenderConfig, constants
-from ttrt.render.intersect import trace_ray
+from ttrt.render import dispatch
 from ttrt.render.lighting import apply_lighting
 from ttrt.render.skybox import sample_skybox
 from ttrt.scene import HIT_NONE, Scene
@@ -133,7 +133,7 @@ def trace_batch(
         # sky at most once, always as its LAST contribution, so recording
         # (direction, weight) here and gathering once after the loop is
         # bit-identical to the reference's in-loop sampling order.
-        hit = trace_ray(scene, s.o, s.d, sample_sky=False)
+        hit = dispatch.trace(scene, s.o, s.d, sample_sky=False)
         is_hit = hit.kind != HIT_NONE
         miss_now = alive & ~is_hit
 

@@ -262,3 +262,9 @@ def trace_ray(scene: Scene, o: Vec3, d: Vec3, *, sample_sky: bool = True,
         normal=normal,
         material=Materials(color=color, reflectivity=refl, specularity=spec),
     )
+
+
+# the demo-tier Scene traces via the linear object scan above
+from ttrt.render import dispatch as _dispatch  # noqa: E402
+
+_dispatch.register_trace(Scene, trace_ray)

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ttrt.render.intersect import trace_ray
+from ttrt.render import dispatch
 from ttrt.scene import HIT_NONE, Scene
 from ttrt.vec import Vec3, clamp
 
@@ -50,7 +50,7 @@ def apply_lighting(
         ldir = Vec3(-dl.direction.x[i], -dl.direction.y[i], -dl.direction.z[i])
         ldir = ldir.normalize()
         ldir_b = Vec3.full_like(intersection, 0, 0, 0) + ldir
-        shadow = trace_ray(scene, intersection, ldir_b, sample_sky=False)
+        shadow = dispatch.trace(scene, intersection, ldir_b, sample_sky=False)
         unblocked = shadow.kind == HIT_NONE
         ndotl = jnp.minimum(normal.dot(ldir_b), 1.0)  # fmin only (c:911)
         lcol = Vec3(dl.color.x[i], dl.color.y[i], dl.color.z[i])
@@ -78,7 +78,7 @@ def apply_lighting(
         light_d2 = lvec.dot(lvec)
         intensity = clamp(pl.intensity[i] / light_d2, 0.0, 1.0)  # c:931
         ldir = lvec.normalize()
-        shadow = trace_ray(scene, intersection, ldir, sample_sky=False)
+        shadow = dispatch.trace(scene, intersection, ldir, sample_sky=False)
         # blocker distance^2 from the (EPSILON-offset) shadow hit; on a miss
         # the hit point IS the origin so this is 0 — but the kind==NONE arm
         # wins, matching TerminalRayTracer.c:937-942.
