@@ -64,12 +64,15 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   max_frames: int | None = None,
                   interactive: bool = True,
                   encode: str = "auto",
-                  scene: Scene | None = None) -> float:
+                  scene: Scene | None = None,
+                  profile_dir: str | None = None,
+                  stats: bool = False) -> float:
     """The reference's infinite frame loop (TerminalRayTracer.c:1315-1366):
     render, draw, pace to the frame budget, print fps. Returns the last
     measured fps."""
     from ttrt import native
     from ttrt.term.encoder import encode_ansi_host
+    from ttrt.utils.profiling import FrameMeter, StageTimers, profile_trace
 
     if encode == "auto":
         encode = "host" if native.available else "device"
@@ -82,11 +85,14 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
         host_enc = native.NativeAnsiEncoder(cfg.height, cfg.width)
 
     cam_offset = np.zeros(3, np.float64)
+    meter = FrameMeter()
+    timers = StageTimers()
     fps = 0.0
     n = 0
     start = time.monotonic()
     deadline = None
-    with SigintFlag() as sig, TerminalDisplay() as disp, KeyboardInput() as keys:
+    with SigintFlag() as sig, TerminalDisplay() as disp, \
+            KeyboardInput() as keys, profile_trace(profile_dir):
         while not sig.received and (max_frames is None or n < max_frames):
             t0 = time.monotonic()
             t = t0 - start
@@ -102,16 +108,19 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                     cam_offset[0] -= CAMERA_MOVE_SPEED
                 elif key == "right":
                     cam_offset[0] += CAMERA_MOVE_SPEED
-            buf = np.asarray(frame_step(
-                jnp.asarray(t, cfg.dtype), jnp.asarray(cam_offset, cfg.dtype)
-            ))
-            if encode == "host":
-                if host_enc is not None:
-                    disp.write_frame(host_enc.encode(buf))
+            with timers.stage("render+copy"):
+                buf = np.asarray(frame_step(
+                    jnp.asarray(t, cfg.dtype),
+                    jnp.asarray(cam_offset, cfg.dtype),
+                ))
+            with timers.stage("encode+write"):
+                if encode == "host":
+                    if host_enc is not None:
+                        disp.write_frame(host_enc.encode(buf))
+                    else:
+                        disp.write_frame(encode_ansi_host(buf))
                 else:
-                    disp.write_frame(encode_ansi_host(buf))
-            else:
-                disp.write_frame(buf)
+                    disp.write_frame(buf)
 
             # drift-free pacing: absolute deadlines advance by the budget
             # (reference: relative nanosleep, TerminalRayTracer.c:1350-1355)
@@ -120,10 +129,16 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
             deadline = (now if deadline is None else deadline) + budget
             if deadline < now:  # fell behind: resync, don't death-spiral
                 deadline = now
-            native.sleep_until(deadline)
-            fps = 1.0 / max(time.monotonic() - t0, 1e-9)
+            with timers.stage("pace"):
+                native.sleep_until(deadline)
+            dt_frame = max(time.monotonic() - t0, 1e-9)
+            fps = 1.0 / dt_frame
+            meter.update(dt_frame)
             disp.write_fps(fps)
             n += 1
+    if stats:
+        timers.log_summary()
+        log(f"ema: {meter.hud()}  frames: {n}")
     return fps
 
 
@@ -208,13 +223,23 @@ def run_physics(cfg: RenderConfig, skybox_name: str = "colors",
 
 
 def render_still(cfg: RenderConfig, skybox_name: str, t: float,
-                 out_path: str) -> None:
+                 out_path: str, n_bands: int | None = None) -> None:
     """High-res still tier (BASELINE config 2): render one frame at time t
-    and write a PPM."""
+    and write a PPM. Large frames render in horizontal bands
+    (render_frame_tiled) so ray-state memory stays bounded."""
+    from ttrt.render.integrator import render_frame_tiled
     from ttrt.term.encoder import encode_rgb_frame
 
     skybox = assets.load_skybox(skybox_name, cfg.dtype)
     scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
+
+    if n_bands is None:
+        # auto: band whenever the frame exceeds ~2M rays
+        n_bands = 1
+        if cfg.n_primary_rays > 2_000_000:
+            n_bands = max(
+                d for d in range(1, 17) if cfg.height % d == 0
+            )
 
     # one jit over the WHOLE pipeline (camera pose -> render -> quantize):
     # eager device ops are pathologically slow under remote-compile backends.
@@ -223,12 +248,16 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         frame = jax.tree.map(
             lambda a: a.astype(cfg.dtype), orbit_camera_frame(tt, cfg.dtype)
         )
-        fb, _ = render_frame(s.with_camera_frame(frame), cfg)
+        s = s.with_camera_frame(frame)
+        if n_bands > 1:
+            fb, _ = render_frame_tiled(s, cfg, n_bands)
+        else:
+            fb, _ = render_frame(s, cfg)
         return encode_rgb_frame(fb)
 
     rgb = np.asarray(still(scene, jnp.asarray(t, cfg.dtype)))
     assets.write_ppm(out_path, rgb)
-    log(f"wrote {out_path} ({cfg.width}x{cfg.height})")
+    log(f"wrote {out_path} ({cfg.width}x{cfg.height}, bands={n_bands})")
 
 
 def main(argv=None) -> int:
@@ -252,11 +281,18 @@ def main(argv=None) -> int:
                    help="render a single still to a PPM instead of animating")
     p.add_argument("--time", type=float, default=0.0,
                    help="scene time for --still")
+    p.add_argument("--bands", type=int, default=None,
+                   help="--still: render in N horizontal bands (bounds "
+                        "memory at high resolutions; default auto)")
     p.add_argument("--f64", action="store_true",
                    help="float64 compute (parity/CPU; slow on TPU)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (dev/tests; overrides the "
                         "image's TPU autoselection)")
+    p.add_argument("--profile", metavar="DIR", default=None,
+                   help="write a jax.profiler device trace for the run")
+    p.add_argument("--stats", action="store_true",
+                   help="log per-stage timing summary to stderr on exit")
     p.add_argument("--no-input", action="store_true",
                    help="disable keyboard camera controls")
     p.add_argument(
@@ -292,7 +328,8 @@ def main(argv=None) -> int:
     )
     try:
         if args.still:
-            render_still(cfg, args.skybox, args.time, args.still)
+            render_still(cfg, args.skybox, args.time, args.still,
+                         n_bands=args.bands)
             return 0
         if args.scene == "physics":
             run_physics(cfg, args.skybox, args.frames,
@@ -310,7 +347,8 @@ def main(argv=None) -> int:
             )
         run_animation(cfg, args.skybox, args.frames,
                       interactive=not args.no_input, encode=args.encode,
-                      scene=scene)
+                      scene=scene, profile_dir=args.profile,
+                      stats=args.stats)
     except assets.AssetError as e:
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1

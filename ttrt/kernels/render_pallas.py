@@ -144,10 +144,11 @@ def pack_scene(scene: Scene, dtype) -> PackedScene:
 
 def _normalize3(x, y, z):
     """Guarded normalize (TerminalRayTracer.c:439-450): identity when the
-    length is <= 1e-4."""
-    length = jnp.sqrt(x * x + y * y + z * z)
-    ok = length > constants.NORMALIZE_GUARD
-    inv = jnp.where(ok, 1.0 / jnp.where(ok, length, 1.0), 1.0)
+    length is <= 1e-4. rsqrt form: one transcendental, zero divisions
+    (the guard compares the SQUARED length, so no sqrt either)."""
+    len2 = x * x + y * y + z * z
+    ok = len2 > constants.NORMALIZE_GUARD * constants.NORMALIZE_GUARD
+    inv = jnp.where(ok, jax.lax.rsqrt(jnp.where(ok, len2, 1.0)), 1.0)
     return x * inv, y * inv, z * inv
 
 
@@ -168,132 +169,179 @@ class _TraceOut(NamedTuple):
 def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
     """Nearest-hit trace of one ray tile against all spheres + the ground
     plane (trace_ray, TerminalRayTracer.c:793-889). ``sph_vals`` is a list
-    of 8-tuples of traced scalars; the object scan unrolls as a masked
-    running-min (spheres first, then ground — same order/ties as the C)."""
+    of 8-tuples of traced scalars.
+
+    Speed-of-light restructuring of the C (documented deltas are all
+    last-ulp-level vs the jnp oracle):
+      - the sphere hit test ``disc >= 0 && t0 > 0`` is evaluated without
+        sqrt or division: for a>0, t0 = (-b-sqrt(disc))/(2a) > 0 iff
+        b < 0 and c > 0 (b^2 > disc expands to 4ac > 0);
+      - the nearest-object compare uses t directly (the C compares squared
+        DISTANCE, but with one shared origin sqdist = t^2*|d|^2 is
+        monotonic in t>0) — so the per-sphere loop tracks only (t, id
+        attributes) and the hit POINT/normal are computed once for the
+        winner after the scan, not per candidate;
+      - one sqrt per winning lane instead of one per sphere, one shared
+        1/(2a) instead of a division per sphere."""
     shape = ox.shape
     dtype = ox.dtype
-    best_sq = jnp.full(shape, _F32_MAX, dtype)
-    hit_any = jnp.zeros(shape, jnp.bool_)
-    bpx = jnp.zeros(shape, dtype)
-    bpy = jnp.zeros(shape, dtype)
-    bpz = jnp.zeros(shape, dtype)
-    bnx = jnp.zeros(shape, dtype)
-    bny = jnp.zeros(shape, dtype)
-    bnz = jnp.zeros(shape, dtype)
+
+    a = dx * dx + dy * dy + dz * dz  # shared across spheres
+    inv2a = 0.5 / a
+
+    best_t = jnp.full(shape, _F32_MAX, dtype)
+    # winner attributes: sphere center (for the normal) + material
+    bcx = jnp.zeros(shape, dtype)
+    bcy = jnp.zeros(shape, dtype)
+    bcz = jnp.zeros(shape, dtype)
     bcr = jnp.zeros(shape, dtype)
     bcg = jnp.zeros(shape, dtype)
     bcb = jnp.zeros(shape, dtype)
     brefl = jnp.zeros(shape, dtype)
-
-    a = dx * dx + dy * dy + dz * dz  # shared across spheres
+    hit_sphere = jnp.zeros(shape, jnp.bool_)
 
     for (cx, cy, cz, r, scr, scg, scb, srefl) in sph_vals:
         ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
         b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b * b - 4.0 * a * c
-        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-        t0 = (-b - sq) / (2.0 * a)
-        hit = (disc >= 0.0) & (t0 > 0.0)
-        px, py, pz = ox + t0 * dx, oy + t0 * dy, oz + t0 * dz
-        tx, ty, tz = ox - px, oy - py, oz - pz
-        sqd = tx * tx + ty * ty + tz * tz
-        take = hit & (sqd < best_sq)
-        best_sq = jnp.where(take, sqd, best_sq)
-        hit_any = hit_any | take
-        bpx = jnp.where(take, px, bpx)
-        bpy = jnp.where(take, py, bpy)
-        bpz = jnp.where(take, pz, bpz)
-        bnx = jnp.where(take, px - cx, bnx)
-        bny = jnp.where(take, py - cy, bny)
-        bnz = jnp.where(take, pz - cz, bnz)
+        hit = (disc >= 0.0) & (b < 0.0) & (c > 0.0)
+        t0 = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv2a
+        take = hit & (t0 < best_t)
+        best_t = jnp.where(take, t0, best_t)
+        hit_sphere = hit_sphere | take
+        bcx = jnp.where(take, cx, bcx)
+        bcy = jnp.where(take, cy, bcy)
+        bcz = jnp.where(take, cz, bcz)
         bcr = jnp.where(take, scr, bcr)
         bcg = jnp.where(take, scg, bcg)
         bcb = jnp.where(take, scb, bcb)
         brefl = jnp.where(take, srefl, brefl)
 
-    # Ground plane (TerminalRayTracer.c:830-853)
+    # Ground plane (TerminalRayTracer.c:830-853); same-origin t compare.
     (ppx, ppy, ppz, pnx, pny, pnz,
      ecr, ecg, ecb, erefl, ocr_, ocg_, ocb_, orefl) = plane_vals
     denom = dx * pnx + dy * pny + dz * pnz
     safe = jnp.where(denom == 0.0, 1.0, denom)
-    t = ((ppx - ox) * pnx + (ppy - oy) * pny + (ppz - oz) * pnz) / safe
+    tp = ((ppx - ox) * pnx + (ppy - oy) * pny + (ppz - oz) * pnz) / safe
     phit = (jnp.abs(denom) > constants.PLANE_DENOM_EPS) & (
-        t > constants.PLANE_T_EPS
+        tp > constants.PLANE_T_EPS
     )
+    take_p = phit & (tp < best_t)
+    best_t = jnp.where(take_p, tp, best_t)
+    hit_any = hit_sphere | take_p
+
+    # winner point / normal / material, computed ONCE
+    t = jnp.where(hit_any, best_t, 0.0)
     px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
-    tx, ty, tz = ox - px, oy - py, oz - pz
-    sqd = tx * tx + ty * ty + tz * tz
-    take = phit & (sqd < best_sq)
+
     parity = (jnp.floor(px) + jnp.floor(pz)).astype(jnp.int32) & 1
     odd = parity == 1
-    hit_any = hit_any | take
-    bpx = jnp.where(take, px, bpx)
-    bpy = jnp.where(take, py, bpy)
-    bpz = jnp.where(take, pz, bpz)
-    bnx = jnp.where(take, pnx, bnx)
-    bny = jnp.where(take, pny, bny)
-    bnz = jnp.where(take, pnz, bnz)
-    bcr = jnp.where(take, jnp.where(odd, ocr_, ecr), bcr)
-    bcg = jnp.where(take, jnp.where(odd, ocg_, ecg), bcg)
-    bcb = jnp.where(take, jnp.where(odd, ocb_, ecb), bcb)
-    brefl = jnp.where(take, jnp.where(odd, orefl, erefl), brefl)
+    pcr = jnp.where(odd, ocr_, ecr)
+    pcg = jnp.where(odd, ocg_, ecg)
+    pcb = jnp.where(odd, ocb_, ecb)
+    prefl = jnp.where(odd, orefl, erefl)
+
+    cr = jnp.where(take_p, pcr, bcr)
+    cg = jnp.where(take_p, pcg, bcg)
+    cb = jnp.where(take_p, pcb, bcb)
+    refl = jnp.where(take_p, prefl, brefl)
+    nxr = jnp.where(take_p, pnx, px - bcx)
+    nyr = jnp.where(take_p, pny, py - bcy)
+    nzr = jnp.where(take_p, pnz, pz - bcz)
 
     # hit fixups (TerminalRayTracer.c:858-886): EPSILON back-offset through a
     # guarded normalize; on miss point = origin, normal = direction.
-    tox, toy, toz = _normalize3(ox - bpx, oy - bpy, oz - bpz)
+    tox, toy, toz = _normalize3(ox - px, oy - py, oz - pz)
     eps = constants.EPSILON
-    hpx = bpx + tox * eps
-    hpy = bpy + toy * eps
-    hpz = bpz + toz * eps
-    px = jnp.where(hit_any, hpx, ox)
-    py = jnp.where(hit_any, hpy, oy)
-    pz = jnp.where(hit_any, hpz, oz)
+    px = jnp.where(hit_any, px + tox * eps, ox)
+    py = jnp.where(hit_any, py + toy * eps, oy)
+    pz = jnp.where(hit_any, pz + toz * eps, oz)
     nx, ny, nz = _normalize3(
-        jnp.where(hit_any, bnx, dx),
-        jnp.where(hit_any, bny, dy),
-        jnp.where(hit_any, bnz, dz),
+        jnp.where(hit_any, nxr, dx),
+        jnp.where(hit_any, nyr, dy),
+        jnp.where(hit_any, nzr, dz),
     )
-    refl = jnp.where(hit_any, brefl, 0.0)
-    return _TraceOut(hit_any, px, py, pz, nx, ny, nz, bcr, bcg, bcb, refl)
+    refl = jnp.where(hit_any, refl, 0.0)
+    return _TraceOut(hit_any, px, py, pz, nx, ny, nz, cr, cg, cb, refl)
+
+
+def _shadow_any_hit(px, py, pz, ldx, ldy, ldz, a, tmax, sph_vals,
+                    plane_vals):
+    """Occlusion-only trace: does any object block the ray before ``tmax``
+    (pass None for the directional-light no-cutoff case)?
+
+    The reference's shadow rays are full nearest-hit traces whose ONLY
+    consumed outputs are hit/no-hit and (for point lights) the blocker
+    distance vs the light distance (TerminalRayTracer.c:907, 937-942) —
+    "nearest blocker closer than the light" is equivalent to "any blocker
+    closer than the light", so an any-hit scan with a t cutoff gives the
+    same answer with no sqrt, no division, no winner tracking.
+    ``a`` is the squared length of the shadow direction (1 for normalized)."""
+    blocked = jnp.zeros(px.shape, jnp.bool_)
+    for (cx, cy, cz, r, _scr, _scg, _scb, _srefl) in sph_vals:
+        ocx, ocy, ocz = px - cx, py - cy, pz - cz
+        b = 2.0 * (ocx * ldx + ocy * ldy + ocz * ldz)
+        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+        disc = b * b - 4.0 * a * c
+        hit = (disc >= 0.0) & (b < 0.0) & (c > 0.0)
+        if tmax is not None:
+            # t0 < tmax  <=>  sqrt(disc) > -b - 2*a*tmax (all quantities
+            # formed without the sqrt by squaring the positive branch)
+            rhs = -b - 2.0 * a * tmax
+            hit = hit & ((rhs < 0.0) | (disc > rhs * rhs))
+        blocked = blocked | hit
+
+    (ppx, ppy, ppz, pnx, pny, pnz, *_rest) = plane_vals
+    denom = ldx * pnx + ldy * pny + ldz * pnz
+    safe = jnp.where(denom == 0.0, 1.0, denom)
+    tp = ((ppx - px) * pnx + (ppy - py) * pny + (ppz - pz) * pnz) / safe
+    phit = (jnp.abs(denom) > constants.PLANE_DENOM_EPS) & (
+        tp > constants.PLANE_T_EPS
+    )
+    if tmax is not None:
+        phit = phit & (tp < tmax)
+    return blocked | phit
 
 
 def _apply_lighting(
     px, py, pz, nx, ny, nz, mcr, mcg, mcb,
     dl_vals, pl_vals, sph_vals, plane_vals,
 ):
-    """Diffuse shading with shadow traces (apply_lighting,
+    """Diffuse shading with any-hit shadow traces (apply_lighting,
     TerminalRayTracer.c:894-963). Returns lit (r, g, b) clamped to [0,1]."""
     outr = jnp.zeros_like(px)
     outg = jnp.zeros_like(px)
     outb = jnp.zeros_like(px)
+    one = jnp.ones_like(px)
 
     for (lx, ly, lz, lcr, lcg, lcb) in dl_vals:
-        shadow = _trace(px, py, pz,
-                        jnp.full_like(px, lx), jnp.full_like(px, ly),
-                        jnp.full_like(px, lz), sph_vals, plane_vals)
-        unblocked = ~shadow.is_hit
+        # light direction is a unit scalar vector -> a == 1
+        blocked = _shadow_any_hit(
+            px, py, pz, lx * one, ly * one, lz * one, 1.0, None,
+            sph_vals, plane_vals,
+        )
         ndotl = jnp.minimum(nx * lx + ny * ly + nz * lz, 1.0)  # fmin only
-        outr = outr + jnp.where(unblocked, lcr * ndotl * mcr, 0.0)
-        outg = outg + jnp.where(unblocked, lcg * ndotl * mcg, 0.0)
-        outb = outb + jnp.where(unblocked, lcb * ndotl * mcb, 0.0)
+        outr = outr + jnp.where(blocked, 0.0, lcr * ndotl * mcr)
+        outg = outg + jnp.where(blocked, 0.0, lcg * ndotl * mcg)
+        outb = outb + jnp.where(blocked, 0.0, lcb * ndotl * mcb)
 
     for (lpx, lpy, lpz, lcr, lcg, lcb, inten) in pl_vals:
         lvx, lvy, lvz = lpx - px, lpy - py, lpz - pz
         light_d2 = lvx * lvx + lvy * lvy + lvz * lvz
         intensity = jnp.minimum(jnp.maximum(inten / light_d2, 0.0), 1.0)
         ldx, ldy, ldz = _normalize3(lvx, lvy, lvz)
-        shadow = _trace(px, py, pz, ldx, ldy, ldz, sph_vals, plane_vals)
-        # on miss the shadow hit point is the origin -> block_d2 = 0, but the
-        # is_hit==False arm wins first (TerminalRayTracer.c:937-942).
-        bx_, by_, bz_ = shadow.px - px, shadow.py - py, shadow.pz - pz
-        block_d2 = bx_ * bx_ + by_ * by_ + bz_ * bz_
-        lit = (~shadow.is_hit) | (light_d2 < block_d2)
+        # normalized direction -> a = 1, cutoff at the light's distance
+        # (blocker-beyond-the-light does not occlude, c:942)
+        tmax = jnp.sqrt(light_d2)
+        blocked = _shadow_any_hit(
+            px, py, pz, ldx, ldy, ldz, 1.0, tmax, sph_vals, plane_vals,
+        )
         ndotl = jnp.minimum(nx * ldx + ny * ldy + nz * ldz, 1.0)
         scale = intensity * ndotl
-        outr = outr + jnp.where(lit, lcr * scale * mcr, 0.0)
-        outg = outg + jnp.where(lit, lcg * scale * mcg, 0.0)
-        outb = outb + jnp.where(lit, lcb * scale * mcb, 0.0)
+        outr = outr + jnp.where(blocked, 0.0, lcr * scale * mcr)
+        outg = outg + jnp.where(blocked, 0.0, lcg * scale * mcg)
+        outb = outb + jnp.where(blocked, 0.0, lcb * scale * mcb)
 
     clamp01 = lambda v: jnp.minimum(jnp.maximum(v, 0.0), 1.0)
     return clamp01(outr), clamp01(outg), clamp01(outb)  # c:960
@@ -367,16 +415,17 @@ def _render_kernel(
     n_dl: int,
     n_pl: int,
     sky_dim: int,
+    tile_r: int,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
     n_rays = W * H * N
 
     # --- ray generation from the lane index (TerminalRayTracer.c:978-1011)
     step = pl.program_id(0)
-    base = step * TILE
+    base = step * (tile_r * LANES)
     lane = (
-        jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 0) * LANES
-        + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 1)
+        jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 1)
     )
     idx = base + lane
     # padding lanes (flat index beyond the ray batch) start dead: they do no
@@ -514,7 +563,7 @@ def _render_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_spheres", "n_dl", "n_pl", "sky_dim",
-                              "interpret")
+                              "interpret", "tile_r")
 )
 def _render_rays_pallas(
     packed: PackedScene,
@@ -525,9 +574,10 @@ def _render_rays_pallas(
     n_pl: int,
     sky_dim: int,
     interpret: bool = False,
+    tile_r: int = TILE_R,
 ):
     n_rays = cfg.width * cfg.height * cfg.rays_per_pixel
-    n_tiles = pl.cdiv(n_rays, TILE)
+    n_tiles = pl.cdiv(n_rays, tile_r * LANES)
 
     kernel = functools.partial(
         _render_kernel,
@@ -536,12 +586,13 @@ def _render_rays_pallas(
         n_dl=n_dl,
         n_pl=n_pl,
         sky_dim=sky_dim,
+        tile_r=tile_r,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     tile_out = lambda dt: (
-        jax.ShapeDtypeStruct((n_tiles, TILE_R, LANES), dt),
-        pl.BlockSpec((1, TILE_R, LANES), lambda i: (i, 0, 0),
+        jax.ShapeDtypeStruct((n_tiles, tile_r, LANES), dt),
+        pl.BlockSpec((1, tile_r, LANES), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     )
     shapes_specs = [
@@ -596,7 +647,8 @@ def _render_rays_pallas(
 
 
 def render_frame_pallas(
-    scene: Scene, cfg: RenderConfig, *, interpret: bool = False
+    scene: Scene, cfg: RenderConfig, *, interpret: bool = False,
+    tile_r: int = TILE_R,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Drop-in replacement for ttrt.render.integrator.render_frame on the
     Pallas path: returns the (H, W) framebuffer Vec3 + trace count.
@@ -618,6 +670,7 @@ def render_frame_pallas(
         scene.point_lights.count,
         scene.skybox.dim,
         interpret,
+        tile_r,
     )
     H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
 

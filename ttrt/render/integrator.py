@@ -44,12 +44,19 @@ from ttrt.scene import HIT_NONE, Scene
 from ttrt.vec import Vec3, triangle_wave
 
 
-def generate_rays(scene: Scene, cfg: RenderConfig) -> Tuple[Vec3, Vec3]:
-    """Build the flat (H*W*spp,) primary ray batch
-    (TerminalRayTracer.c:980-1011)."""
+def generate_rays(
+    scene: Scene, cfg: RenderConfig, row_start=0, n_rows: Optional[int] = None
+) -> Tuple[Vec3, Vec3]:
+    """Build the flat (n_rows*W*spp,) primary ray batch
+    (TerminalRayTracer.c:980-1011). ``row_start``/``n_rows`` select a
+    horizontal band of the image (the whole frame by default) — the tiled
+    high-res path maps over bands so peak memory stays one band, not one
+    frame."""
     dtype = cfg.dtype
     cam = scene.camera
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    if n_rows is None:
+        n_rows = H
 
     sw = cam.screen_width.astype(dtype)
     sh = cam.screen_height.astype(dtype)
@@ -57,7 +64,7 @@ def generate_rays(scene: Scene, cfg: RenderConfig) -> Tuple[Vec3, Vec3]:
     pixel_h = sh / H
 
     col = jnp.arange(W, dtype=dtype)
-    row = jnp.arange(H, dtype=dtype)
+    row = jnp.arange(n_rows, dtype=dtype) + jnp.asarray(row_start, dtype)
     k = jnp.arange(N, dtype=dtype)
 
     base_x = (col / W) * sw - sw / 2.0  # (W,)
@@ -69,8 +76,8 @@ def generate_rays(scene: Scene, cfg: RenderConfig) -> Tuple[Vec3, Vec3]:
     # reference's row*W+col framebuffer layout (TerminalRayTracer.c:1066).
     sx = base_x[None, :, None] + jit_x[None, None, :]
     sy = base_y[:, None, None] + jit_y[None, None, :]
-    sx = jnp.broadcast_to(sx, (H, W, N)).reshape(-1)
-    sy = jnp.broadcast_to(sy, (H, W, N)).reshape(-1)
+    sx = jnp.broadcast_to(sx, (n_rows, W, N)).reshape(-1)
+    sy = jnp.broadcast_to(sy, (n_rows, W, N)).reshape(-1)
     sz = -cam.screen_distance.astype(dtype)
 
     bx, by, bz = cam.frame.x_axis, cam.frame.y_axis, cam.frame.z_axis
@@ -233,6 +240,34 @@ def render_frame(
         return c.reshape(H, W, N).sum(axis=-1) * (1.0 / N)
 
     return Vec3(avg(color.x), avg(color.y), avg(color.z)), ray_count
+
+
+def render_frame_tiled(
+    scene: Scene, cfg: RenderConfig, n_bands: int = 8,
+    *, count_rays: bool = False,
+) -> Tuple[Vec3, jnp.ndarray]:
+    """High-res still path (BASELINE config 2): render the image in
+    ``n_bands`` horizontal bands via lax.map so peak live memory is one
+    band's ray state instead of the whole frame's (a 1920x1080x4spp frame
+    is 8.3M rays x ~20 state arrays — bands keep that bounded on any
+    chip). One jit, one compile: every band shares the same program."""
+    H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
+    if H % n_bands:
+        raise ValueError(f"height {H} not divisible by n_bands {n_bands}")
+    bh = H // n_bands
+
+    def band(i):
+        o, d = generate_rays(scene, cfg, row_start=i * bh, n_rows=bh)
+        color, rays = trace_batch(scene, o, d, cfg, count_rays=count_rays)
+
+        def avg(c):
+            return c.reshape(bh, W, N).sum(axis=-1) * (1.0 / N)
+
+        return Vec3(avg(color.x), avg(color.y), avg(color.z)), rays
+
+    fb_bands, rays = jax.lax.map(band, jnp.arange(n_bands))
+    fb = Vec3(*(c.reshape(H, W) for c in fb_bands))
+    return fb, rays.sum()
 
 
 def render_image(scene: Scene, cfg: RenderConfig) -> jnp.ndarray:
