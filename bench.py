@@ -4,27 +4,38 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "Mray/s", "vs_baseline": N, ...}
 
 Workload (BASELINE.md): the demo scene at the reference's defaults —
-480x280, 10 AA rays/pixel, 10-bounce limit, 2 lights — f32 on device.
-"value" is sustained scene-traversals/second in Mrays/s, counting every
-primary/bounce trace plus every shadow trace actually performed (the
-per-bounce alive/shadow counts come from the render itself, not a formula).
+480x280, 10 AA rays/pixel, 10-bounce limit, 2 lights — f32 on device,
+rendered by the Pallas kernel (the production path; the fused-XLA oracle
+is also timed and reported). "value" is sustained scene-traversals/second
+in Mrays/s, counting every primary/bounce trace plus every shadow trace
+actually performed (per-bounce alive/shadow counts come from the render
+itself, not a formula).
+
+Measurement methodology for the axon tunnel backend (important):
+  - a SYNCHRONOUS host fetch costs ~30 ms of pure round-trip latency, so
+    per-frame sync timing measures the tunnel, not the chip;
+  - instead all frame inputs are STAGED on device first, every frame is
+    enqueued asynchronously, and one jax.block_until_ready() at the end
+    waits for the whole batch: wall/N = true device time per frame
+    (verified: enqueue of N frames returns in ~1 ms, the block scales
+    linearly with N);
+  - every frame gets a DISTINCT camera time so no result cache can
+    short-circuit.
+
+The streaming tier reports three rates: device-only (pipeline rate of
+render+encode on chip), synchronous end-to-end (one blocking fetch per
+frame — the tunnel-latency lower bound), and pipelined end-to-end (a
+small thread pool overlaps the per-frame fetches, the way ttrt.app
+streams; this is what a live terminal sees).
 
 vs_baseline compares against the BASELINE.json north-star target of
 1 Gray/s/chip (the reference publishes no numbers; its measured CPU rate,
 ~8 Mray/s, would be a vacuous baseline).
-
-Secondary fields: fps on the 240x64 streaming tier (full pipeline: render
-+ on-device ANSI encode + device->host copy of the byte buffer), and the
-per-stage timings.
-
-Timing notes for the axon backend: results are fetched to host each
-iteration (np.asarray of a checksum / the byte buffer) so asynchronous
-dispatch can't hide compute; every frame gets a distinct t so no caching
-layer can short-circuit.
 """
 
 from __future__ import annotations
 
+import concurrent.futures
 import json
 import sys
 import time
@@ -47,58 +58,72 @@ def _build(cfg_kwargs, dtype=jnp.float32):
     return cfg, scene
 
 
+def _staged_times(cfg, n, base=2.0, step=0.37):
+    """Distinct per-frame camera times, staged on device up front so the
+    timed loop performs zero host->device transfers."""
+    ts = [jnp.asarray(base + step * i, cfg.dtype) for i in range(n)]
+    jax.block_until_ready(ts)
+    return ts
+
+
+def _throughput(step_fn, scene, ts, n_warm=2):
+    """Enqueue-all + block-once device timing. Returns (s_per_frame, outs)."""
+    outs = [step_fn(scene, t) for t in ts[:n_warm]]
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    outs = [step_fn(scene, t) for t in ts]
+    jax.block_until_ready(outs)
+    return (time.perf_counter() - t0) / len(ts), outs
+
+
 def bench_rays(n_iters: int = 30) -> dict:
-    """Mrays/s on the reference-default workload."""
+    """Mrays/s on the reference-default workload, Pallas + XLA paths."""
     from ttrt.frames import orbit_camera_frame
+    from ttrt.kernels.render_pallas import render_frame_pallas
     from ttrt.render.integrator import render_frame
 
     cfg, scene = _build(
         dict(width=480, height=280, rays_per_pixel=10, bounce_limit=10)
     )
 
-    @jax.jit
-    def step(scene, t):
-        frame = jax.tree.map(
-            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
-        )
-        fb, rays = render_frame(
-            scene.with_camera_frame(frame), cfg, count_rays=True
-        )
-        # checksum forces the full framebuffer to be computed
-        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+    def make_step(render):
+        @jax.jit
+        def step(scene, t):
+            frame = jax.tree.map(
+                lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+            )
+            fb, rays = render(scene.with_camera_frame(frame))
+            # checksum forces the full framebuffer computation
+            return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+        return step
+
+    step_pallas = make_step(lambda s: render_frame_pallas(s, cfg))
+    step_xla = make_step(lambda s: render_frame(s, cfg, count_rays=True))
+
+    ts = _staged_times(cfg, n_iters)
 
     t0 = time.perf_counter()
-    chk, rays0 = step(scene, jnp.asarray(0.123, cfg.dtype))
+    chk, rays0 = step_pallas(scene, ts[0])
     float(chk)
     compile_s = time.perf_counter() - t0
 
-    # warmup a couple of steady-state frames
-    for i in range(3):
-        chk, _ = step(scene, jnp.asarray(1.0 + 0.1 * i, cfg.dtype))
-    float(chk)
+    sec_pal, outs = _throughput(step_pallas, scene, ts)
+    rays_per_frame = int(outs[-1][1])
+    sec_xla, _ = _throughput(step_xla, scene, ts)
 
-    # async-pipelined loop: enqueue every frame, sync ONCE at the end, so
-    # host<->device round-trip latency (large under the axon tunnel) can't
-    # masquerade as compute time. Distinct t per frame defeats caching.
-    ray_counts = []
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        chk, rays = step(scene, jnp.asarray(2.0 + 0.37 * i, cfg.dtype))
-        ray_counts.append(rays)
-    float(chk)  # sync on the last frame's framebuffer checksum
-    dt = time.perf_counter() - t0
-    total_rays = int(np.sum([int(r) for r in ray_counts]))
     return {
-        "mrays_per_s": total_rays / dt / 1e6,
-        "rays_per_frame": total_rays / n_iters,
-        "frame_ms": dt / n_iters * 1e3,
+        "mrays_per_s": rays_per_frame / sec_pal / 1e6,
+        "mrays_per_s_xla": rays_per_frame / sec_xla / 1e6,
+        "rays_per_frame": rays_per_frame,
+        "frame_ms": sec_pal * 1e3,
+        "frame_ms_xla": sec_xla * 1e3,
         "compile_s": compile_s,
     }
 
 
 def bench_streaming(n_iters: int = 60) -> dict:
-    """fps on the 240x64 streaming tier: full pipeline incl. on-device ANSI
-    encode and the device->host byte-buffer copy."""
+    """fps on the 240x64 streaming tier (render + on-device ANSI encode):
+    device pipeline rate, sync end-to-end, and pipelined end-to-end."""
     from ttrt.frames import orbit_camera_frame
     from ttrt.render.integrator import render_frame
     from ttrt.term.encoder import encode_ansi_frame
@@ -115,29 +140,36 @@ def bench_streaming(n_iters: int = 60) -> dict:
         fb, _ = render_frame(scene.with_camera_frame(frame), cfg)
         return encode_ansi_frame(fb)
 
-    buf = frame_step(scene, jnp.asarray(0.1, cfg.dtype))
-    _ = np.asarray(buf)  # compile + first copy
+    ts = _staged_times(cfg, n_iters, base=1.0, step=1.0 / 60.0)
+    buf = frame_step(scene, ts[0])
+    first = np.asarray(buf)  # compile + first copy
 
-    # synchronous per-frame host copy (what a live terminal stream does):
-    # this includes tunnel RTT, so it's a lower bound on attached-host fps
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        buf = frame_step(scene, jnp.asarray(1.0 + i / 60.0, cfg.dtype))
-        _ = np.asarray(buf)  # full device->host frame copy every iteration
-    dt_sync = time.perf_counter() - t0
+    # device pipeline rate (enqueue all, block once)
+    sec_dev, _ = _throughput(frame_step, scene, ts)
 
-    # pipelined variant: enqueue all frames, fetch only the last — measures
-    # the chip-side streaming pipeline rate without per-frame RTT
+    # synchronous end-to-end: one blocking full-frame fetch per frame
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        buf = frame_step(scene, jnp.asarray(3.0 + i / 60.0, cfg.dtype))
-    _ = np.asarray(buf)
-    dt_pipe = time.perf_counter() - t0
+    for t in ts[: min(20, n_iters)]:
+        np.asarray(frame_step(scene, t))
+    sec_sync = (time.perf_counter() - t0) / min(20, n_iters)
+
+    # pipelined end-to-end: overlap fetches in a small thread pool (what
+    # ttrt.app's streaming loop does); frames still arrive in order
+    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
+        futs = []
+        t0 = time.perf_counter()
+        for t in ts:
+            futs.append(pool.submit(np.asarray, frame_step(scene, t)))
+        for f in futs:
+            f.result()
+        sec_pipe = (time.perf_counter() - t0) / n_iters
+
     return {
-        "fps_240x64": n_iters / dt_sync,
-        "frame_ms_240x64": dt_sync / n_iters * 1e3,
-        "fps_240x64_pipelined": n_iters / dt_pipe,
-        "frame_bytes": int(buf.shape[0]),
+        "fps_device": 1.0 / sec_dev,
+        "fps_sync": 1.0 / sec_sync,
+        "fps_pipelined": 1.0 / sec_pipe,
+        "frame_ms_device": sec_dev * 1e3,
+        "frame_bytes": int(first.shape[0]),
     }
 
 
@@ -147,17 +179,19 @@ def main() -> int:
     s = bench_streaming()
     target_mrays = 1000.0  # 1 Gray/s/chip north star (BASELINE.json)
     out = {
-        "metric": "demo-scene ray throughput (480x280x10spp, 10-bounce, f32)",
+        "metric": "demo-scene ray throughput (480x280x10spp, 10-bounce, f32, pallas)",
         "value": round(r["mrays_per_s"], 1),
         "unit": "Mray/s",
         "vs_baseline": round(r["mrays_per_s"] / target_mrays, 3),
         "baseline": "1000 Mray/s/chip north-star (BASELINE.json; reference publishes none)",
+        "mrays_xla_path": round(r["mrays_per_s_xla"], 1),
         "rays_per_frame": int(r["rays_per_frame"]),
         "render_frame_ms": round(r["frame_ms"], 3),
+        "render_frame_ms_xla": round(r["frame_ms_xla"], 3),
         "compile_s": round(r["compile_s"], 1),
-        "fps_240x64_stream": round(s["fps_240x64"], 1),
-        "fps_240x64_pipelined": round(s["fps_240x64_pipelined"], 1),
-        "stream_frame_ms": round(s["frame_ms_240x64"], 3),
+        "fps_240x64_device": round(s["fps_device"], 1),
+        "fps_240x64_sync": round(s["fps_sync"], 1),
+        "fps_240x64_pipelined": round(s["fps_pipelined"], 1),
         "device": str(backend),
     }
     print(json.dumps(out))

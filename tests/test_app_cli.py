@@ -94,3 +94,16 @@ def test_still_ppm(tmp_path):
 def test_bad_flags_rejected():
     r = _run(["--width", "0"])
     assert r.returncode == 2
+
+
+@pytest.mark.parametrize("pipeline", [2])
+def test_animation_stream_pipelined(pipeline):
+    """Pipelined mode must still emit exactly --frames valid frames."""
+    w, h, frames = 24, 10, 4
+    r = _run([
+        "--width", str(w), "--height", str(h), "--spp", "2",
+        "--frames", str(frames), "--skybox", "colors", "--fps", "1000",
+        "--encode", "device", "--pipeline", str(pipeline),
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, frames, w, h)

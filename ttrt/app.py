@@ -66,10 +66,20 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   encode: str = "auto",
                   scene: Scene | None = None,
                   profile_dir: str | None = None,
-                  stats: bool = False) -> float:
+                  stats: bool = False,
+                  pipeline: int = 0) -> float:
     """The reference's infinite frame loop (TerminalRayTracer.c:1315-1366):
     render, draw, pace to the frame budget, print fps. Returns the last
-    measured fps."""
+    measured fps.
+
+    ``pipeline`` > 0 keeps that many frames in flight and overlaps the
+    device->host copies in a small thread pool — essential when the host
+    link has high latency (remote-attached TPU): render of frame t+k
+    proceeds while frame t's bytes are still in transit. Camera input
+    takes effect ``pipeline`` frames later."""
+    import collections
+    import concurrent.futures
+
     from ttrt import native
     from ttrt.term.encoder import encode_ansi_host
     from ttrt.utils.profiling import FrameMeter, StageTimers, profile_trace
@@ -91,51 +101,79 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
     n = 0
     start = time.monotonic()
     deadline = None
-    with SigintFlag() as sig, TerminalDisplay() as disp, \
-            KeyboardInput() as keys, profile_trace(profile_dir):
-        while not sig.received and (max_frames is None or n < max_frames):
-            t0 = time.monotonic()
-            t = t0 - start
-            if interactive:
-                key = keys.poll()
-                if key == "quit":
-                    break
-                elif key == "up":
-                    cam_offset[1] += CAMERA_MOVE_SPEED
-                elif key == "down":
-                    cam_offset[1] -= CAMERA_MOVE_SPEED
-                elif key == "left":
-                    cam_offset[0] -= CAMERA_MOVE_SPEED
-                elif key == "right":
-                    cam_offset[0] += CAMERA_MOVE_SPEED
-            with timers.stage("render+copy"):
-                buf = np.asarray(frame_step(
+    pool = (
+        concurrent.futures.ThreadPoolExecutor(max_workers=max(2, pipeline))
+        if pipeline > 0 else None
+    )
+    pending: "collections.deque" = collections.deque()
+
+    def emit(buf):
+        nonlocal deadline, fps, n
+        with timers.stage("encode+write"):
+            if encode == "host":
+                if host_enc is not None:
+                    disp.write_frame(host_enc.encode(buf))
+                else:
+                    disp.write_frame(encode_ansi_host(buf))
+            else:
+                disp.write_frame(buf)
+        # drift-free pacing: absolute deadlines advance by the budget
+        # (reference: relative nanosleep, TerminalRayTracer.c:1350-1355)
+        budget = cfg.frame_duration
+        now = time.monotonic()
+        deadline = (now if deadline is None else deadline) + budget
+        if deadline < now:  # fell behind: resync, don't death-spiral
+            deadline = now
+        with timers.stage("pace"):
+            native.sleep_until(deadline)
+        n += 1
+
+    try:
+        with SigintFlag() as sig, TerminalDisplay() as disp, \
+                KeyboardInput() as keys, profile_trace(profile_dir):
+            issued = 0
+            while not sig.received and (
+                max_frames is None or issued < max_frames
+            ):
+                t0 = time.monotonic()
+                t = t0 - start
+                if interactive:
+                    key = keys.poll()
+                    if key == "quit":
+                        break
+                    elif key == "up":
+                        cam_offset[1] += CAMERA_MOVE_SPEED
+                    elif key == "down":
+                        cam_offset[1] -= CAMERA_MOVE_SPEED
+                    elif key == "left":
+                        cam_offset[0] -= CAMERA_MOVE_SPEED
+                    elif key == "right":
+                        cam_offset[0] += CAMERA_MOVE_SPEED
+                dev_buf = frame_step(
                     jnp.asarray(t, cfg.dtype),
                     jnp.asarray(cam_offset, cfg.dtype),
-                ))
-            with timers.stage("encode+write"):
-                if encode == "host":
-                    if host_enc is not None:
-                        disp.write_frame(host_enc.encode(buf))
-                    else:
-                        disp.write_frame(encode_ansi_host(buf))
+                )
+                issued += 1
+                if pool is not None:
+                    pending.append(pool.submit(np.asarray, dev_buf))
+                    if len(pending) <= pipeline:
+                        continue  # fill the pipeline before first emit
+                    with timers.stage("render+copy"):
+                        buf = pending.popleft().result()
                 else:
-                    disp.write_frame(buf)
-
-            # drift-free pacing: absolute deadlines advance by the budget
-            # (reference: relative nanosleep, TerminalRayTracer.c:1350-1355)
-            budget = cfg.frame_duration
-            now = time.monotonic()
-            deadline = (now if deadline is None else deadline) + budget
-            if deadline < now:  # fell behind: resync, don't death-spiral
-                deadline = now
-            with timers.stage("pace"):
-                native.sleep_until(deadline)
-            dt_frame = max(time.monotonic() - t0, 1e-9)
-            fps = 1.0 / dt_frame
-            meter.update(dt_frame)
-            disp.write_fps(fps)
-            n += 1
+                    with timers.stage("render+copy"):
+                        buf = np.asarray(dev_buf)
+                emit(buf)
+                dt_frame = max(time.monotonic() - t0, 1e-9)
+                fps = 1.0 / dt_frame
+                meter.update(dt_frame)
+                disp.write_fps(fps)
+            # drain in-flight frames
+            while pending:
+                emit(pending.popleft().result())
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False)
     if stats:
         timers.log_summary()
         log(f"ema: {meter.hud()}  frames: {n}")
@@ -289,6 +327,10 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (dev/tests; overrides the "
                         "image's TPU autoselection)")
+    p.add_argument("--pipeline", type=int, default=0,
+                   help="frames kept in flight with threaded host copies "
+                        "(hides host-link latency; camera input lags by N "
+                        "frames; 0 = fully synchronous)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler device trace for the run")
     p.add_argument("--stats", action="store_true",
@@ -348,7 +390,7 @@ def main(argv=None) -> int:
         run_animation(cfg, args.skybox, args.frames,
                       interactive=not args.no_input, encode=args.encode,
                       scene=scene, profile_dir=args.profile,
-                      stats=args.stats)
+                      stats=args.stats, pipeline=args.pipeline)
     except assets.AssetError as e:
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1
