@@ -52,7 +52,7 @@ def _build(cfg_kwargs, dtype=jnp.float32):
 
     cfg = RenderConfig(dtype=dtype, **cfg_kwargs)
     scene = demo_scene(
-        skybox_from_faces(make_colors_skybox(256), dtype),
+        skybox_from_faces(make_colors_skybox(256), dtype, procedural="colors"),
         cfg.width, cfg.height, dtype,
     )
     return cfg, scene
@@ -66,14 +66,28 @@ def _staged_times(cfg, n, base=2.0, step=0.37):
     return ts
 
 
-def _throughput(step_fn, scene, ts, n_warm=2):
-    """Enqueue-all + block-once device timing. Returns (s_per_frame, outs)."""
-    outs = [step_fn(scene, t) for t in ts[:n_warm]]
-    jax.block_until_ready(outs)
+def _throughput(step_fn, scene, ts, n_small=6):
+    """Slope-based device timing, robust against both the tunnel RTT and
+    the backend's occasionally-lazy block_until_ready: time (enqueue +
+    block + ONE scalar fetch) at two batch sizes and take the slope —
+    every constant cost (round trip, dispatch, fetch) cancels."""
+
+    def run(batch):
+        outs = [step_fn(scene, t) for t in batch]
+        jax.block_until_ready(outs)
+        # a real host fetch guarantees execution actually finished
+        float(np.asarray(outs[-1][0]))
+        return outs
+
+    run(ts[:2])  # warm
     t0 = time.perf_counter()
-    outs = [step_fn(scene, t) for t in ts]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / len(ts), outs
+    run(ts[:n_small])
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = run(ts)
+    t_big = time.perf_counter() - t0
+    per_frame = (t_big - t_small) / (len(ts) - n_small)
+    return max(per_frame, 1e-9), outs
 
 
 def bench_rays(n_iters: int = 30) -> dict:
@@ -125,7 +139,7 @@ def bench_streaming(n_iters: int = 60) -> dict:
     """fps on the 240x64 streaming tier (render + on-device ANSI encode):
     device pipeline rate, sync end-to-end, and pipelined end-to-end."""
     from ttrt.frames import orbit_camera_frame
-    from ttrt.render.integrator import render_frame
+    from ttrt.kernels.render_pallas import render_frame_pallas
     from ttrt.term.encoder import encode_ansi_frame
 
     cfg, scene = _build(
@@ -137,7 +151,7 @@ def bench_streaming(n_iters: int = 60) -> dict:
         frame = jax.tree.map(
             lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
         )
-        fb, _ = render_frame(scene.with_camera_frame(frame), cfg)
+        fb, _ = render_frame_pallas(scene.with_camera_frame(frame), cfg)
         return encode_ansi_frame(fb)
 
     ts = _staged_times(cfg, n_iters, base=1.0, step=1.0 / 60.0)

@@ -107,3 +107,33 @@ def test_animation_stream_pipelined(pipeline):
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     _check_stream(r.stdout, frames, w, h)
+
+
+def test_pathtrace_still(tmp_path):
+    out = str(tmp_path / "pt.ppm")
+    r = _run([
+        "--still", out, "--pathtrace", "--width", "24", "--height", "12",
+        "--spp", "4", "--bounces", "3", "--skybox", "colors",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert os.path.getsize(out) > 24 * 12 * 3
+
+
+def test_pathtrace_animation():
+    r = _run([
+        "--pathtrace", "--width", "16", "--height", "8", "--spp", "2",
+        "--bounces", "3", "--frames", "2", "--skybox", "colors",
+        "--fps", "1000", "--encode", "device",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, 2, 16, 8)
+
+
+def test_specular_flag_runs():
+    r = _run([
+        "--specular", "--width", "16", "--height", "8", "--spp", "1",
+        "--frames", "1", "--skybox", "colors", "--fps", "1000",
+        "--encode", "device",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, 1, 16, 8)

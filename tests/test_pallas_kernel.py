@@ -64,3 +64,34 @@ def test_pallas_rejects_unsupported():
         render_frame_pallas(scene, cfg.with_(skybox_bilinear=True))
     with pytest.raises(ValueError):
         render_frame_pallas(scene, cfg.with_(dtype=jnp.float64))
+
+
+@pytest.mark.parametrize("name", ["colors", "uv_checker"])
+def test_procedural_sky_matches_textured(name):
+    """The in-kernel procedural cubemap evaluation must be BIT-IDENTICAL
+    to sampling the stored texels: render the same frame through the
+    textured path (gather) and the procedural path (gather-free) and
+    compare exactly."""
+    from ttrt.assets import load_skybox
+    from ttrt.scene import Skybox
+
+    cfg = RenderConfig(width=32, height=16, rays_per_pixel=2,
+                       bounce_limit=6, dtype=jnp.float32)
+    sky_tagged = load_skybox(name)
+    assert sky_tagged.procedural == name
+    sky_plain = Skybox(sky_tagged.packed, procedural=None)
+
+    frame = jax.tree.map(
+        lambda a: a.astype(jnp.float32), orbit_camera_frame(2.1, jnp.float32)
+    )
+
+    def render(sky):
+        scene = demo_scene(sky, cfg.width, cfg.height, jnp.float32)
+        scene = scene.with_camera_frame(frame)
+        fb, rays = render_frame_pallas(scene, cfg, interpret=True)
+        return np.asarray(fb.to_array()), int(rays)
+
+    img_tex, rays_tex = render(sky_plain)
+    img_proc, rays_proc = render(sky_tagged)
+    np.testing.assert_array_equal(img_proc, img_tex)
+    assert rays_tex == rays_proc

@@ -36,7 +36,70 @@ from ttrt.utils.logging import log
 CAMERA_MOVE_SPEED = 0.1  # meters per keypress (reference stub's constant)
 
 
-def build_frame_step(scene: Scene, cfg: RenderConfig, encode: str = "device"):
+def default_area_lights(cfg: RenderConfig):
+    """The demo's point light recast as a spherical emitter for the
+    path-tracing tier (soft shadows)."""
+    from ttrt.render.pathtrace import AreaLights
+
+    return AreaLights.create(
+        positions=[[0.0, 3.0, 0.0]],
+        radii=[0.5],
+        colors=[[1.0, 1.0, 1.0]],
+        intensities=[10.0],
+        dtype=cfg.dtype,
+    )
+
+
+def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
+                               encode: str = "device", seed: int = 0):
+    """jit: (t, cam_offset) -> frame bytes via the Monte-Carlo integrator;
+    each frame draws an independent RNG stream from the frame index."""
+    from ttrt.render.pathtrace import pathtrace_frame
+    from ttrt.term.encoder import encode_ansi_frame, encode_rgb_frame
+
+    enc = encode_ansi_frame if encode == "device" else encode_rgb_frame
+    lights = default_area_lights(cfg)
+    base_key = jax.random.PRNGKey(seed)
+
+    @jax.jit
+    def frame_step(t, cam_offset):
+        frame = orbit_camera_frame(t, cfg.dtype)
+        frame = frame._replace(origin=frame.origin + cam_offset)
+        s = scene.with_camera_frame(frame)
+        # derive the per-frame key from the (quantized) scene time
+        key = jax.random.fold_in(
+            base_key, (t * 1000.0).astype(jnp.int32)
+        )
+        fb = pathtrace_frame(s, lights, cfg, key)
+        return enc(fb)
+
+    return frame_step
+
+
+def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
+    """Select the render path: the Pallas kernel when it supports the
+    config (f32, nearest skybox, diffuse shading, demo-tier Scene, real
+    TPU backend), else the fused-XLA integrator."""
+    if renderer == "xla":
+        return render_frame
+    eligible = (
+        cfg.dtype == jnp.float32
+        and not cfg.skybox_bilinear
+        and not cfg.specular
+        and type(scene) is Scene
+        and jax.default_backend() != "cpu"
+    )
+    if renderer == "pallas" and not eligible:
+        raise ValueError("pallas renderer unavailable for this config")
+    if eligible:
+        from ttrt.kernels.render_pallas import render_frame_pallas
+
+        return render_frame_pallas
+    return render_frame
+
+
+def build_frame_step(scene: Scene, cfg: RenderConfig, encode: str = "device",
+                     renderer: str = "auto"):
     """jit-compile t -> frame bytes. ``cam_offset`` is a world-frame camera
     translation driven by arrow keys (extension; reference stub at
     TerminalRayTracer.c:1196-1215).
@@ -48,13 +111,14 @@ def build_frame_step(scene: Scene, cfg: RenderConfig, encode: str = "device"):
     from ttrt.term.encoder import encode_rgb_frame
 
     enc = encode_ansi_frame if encode == "device" else encode_rgb_frame
+    render = _pick_renderer(scene, cfg, renderer)
 
     @jax.jit
     def frame_step(t, cam_offset):
         frame = orbit_camera_frame(t, cfg.dtype)
         frame = frame._replace(origin=frame.origin + cam_offset)
         s = scene.with_camera_frame(frame)
-        fb, _ = render_frame(s, cfg)
+        fb, _ = render(s, cfg)
         return enc(fb)
 
     return frame_step
@@ -67,7 +131,10 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   scene: Scene | None = None,
                   profile_dir: str | None = None,
                   stats: bool = False,
-                  pipeline: int = 0) -> float:
+                  pipeline: int = 0,
+                  pathtrace: bool = False,
+                  seed: int = 0,
+                  renderer: str = "auto") -> float:
     """The reference's infinite frame loop (TerminalRayTracer.c:1315-1366):
     render, draw, pace to the frame budget, print fps. Returns the last
     measured fps.
@@ -89,7 +156,10 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
     if scene is None:
         skybox = assets.load_skybox(skybox_name, cfg.dtype)
         scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
-    frame_step = build_frame_step(scene, cfg, encode)
+    if pathtrace:
+        frame_step = build_pathtrace_frame_step(scene, cfg, encode, seed)
+    else:
+        frame_step = build_frame_step(scene, cfg, encode, renderer)
     host_enc = None
     if encode == "host" and native.available:
         host_enc = native.NativeAnsiEncoder(cfg.height, cfg.width)
@@ -261,7 +331,8 @@ def run_physics(cfg: RenderConfig, skybox_name: str = "colors",
 
 
 def render_still(cfg: RenderConfig, skybox_name: str, t: float,
-                 out_path: str, n_bands: int | None = None) -> None:
+                 out_path: str, n_bands: int | None = None,
+                 pathtrace: bool = False, seed: int = 0) -> None:
     """High-res still tier (BASELINE config 2): render one frame at time t
     and write a PPM. Large frames render in horizontal bands
     (render_frame_tiled) so ray-state memory stays bounded."""
@@ -287,7 +358,13 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
             lambda a: a.astype(cfg.dtype), orbit_camera_frame(tt, cfg.dtype)
         )
         s = s.with_camera_frame(frame)
-        if n_bands > 1:
+        if pathtrace:
+            from ttrt.render.pathtrace import pathtrace_frame
+
+            fb = pathtrace_frame(
+                s, default_area_lights(cfg), cfg, jax.random.PRNGKey(seed)
+            )
+        elif n_bands > 1:
             fb, _ = render_frame_tiled(s, cfg, n_bands)
         else:
             fb, _ = render_frame(s, cfg)
@@ -313,6 +390,14 @@ def main(argv=None) -> int:
     )
     p.add_argument("--bilinear", action="store_true",
                    help="bilinear skybox filtering (reference roadmap item)")
+    p.add_argument("--specular", action="store_true",
+                   help="Blinn-Phong specular highlights (latent in the "
+                        "reference: commented-out code)")
+    p.add_argument("--pathtrace", action="store_true",
+                   help="Monte-Carlo path tracing with a spherical area "
+                        "light: soft shadows + diffuse interreflection")
+    p.add_argument("--seed", type=int, default=0,
+                   help="RNG seed for --pathtrace")
     p.add_argument("--frames", type=int, default=None,
                    help="stop after N frames (default: run until SIGINT/q)")
     p.add_argument("--still", metavar="OUT.ppm", default=None,
@@ -327,6 +412,11 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (dev/tests; overrides the "
                         "image's TPU autoselection)")
+    p.add_argument("--renderer", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="render path: the Pallas TPU kernel or the "
+                        "fused-XLA integrator (auto picks pallas when "
+                        "supported)")
     p.add_argument("--pipeline", type=int, default=0,
                    help="frames kept in flight with threaded host copies "
                         "(hides host-link latency; camera input lags by N "
@@ -366,12 +456,13 @@ def main(argv=None) -> int:
     cfg = RenderConfig(
         width=args.width, height=args.height, rays_per_pixel=args.spp,
         bounce_limit=args.bounces, frame_rate=args.fps, dtype=dtype,
-        skybox_bilinear=args.bilinear,
+        skybox_bilinear=args.bilinear, specular=args.specular,
     )
     try:
         if args.still:
             render_still(cfg, args.skybox, args.time, args.still,
-                         n_bands=args.bands)
+                         n_bands=args.bands, pathtrace=args.pathtrace,
+                         seed=args.seed)
             return 0
         if args.scene == "physics":
             run_physics(cfg, args.skybox, args.frames,
@@ -390,7 +481,9 @@ def main(argv=None) -> int:
         run_animation(cfg, args.skybox, args.frames,
                       interactive=not args.no_input, encode=args.encode,
                       scene=scene, profile_dir=args.profile,
-                      stats=args.stats, pipeline=args.pipeline)
+                      stats=args.stats, pipeline=args.pipeline,
+                      pathtrace=args.pathtrace, seed=args.seed,
+                      renderer=args.renderer)
     except assets.AssetError as e:
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1

@@ -114,16 +114,18 @@ def load_skybox_faces(directory: str) -> np.ndarray:
     return np.stack(faces)
 
 
-def skybox_from_faces(faces_u8: np.ndarray, dtype=None) -> Skybox:
+def skybox_from_faces(faces_u8: np.ndarray, dtype=None,
+                      procedural: str | None = None) -> Skybox:
     """(6, dim, dim, 3) uint8 -> packed device Skybox. Texels are stored
     packed-u32; the texel/255 float conversion (TerminalRayTracer.c:866)
     happens at sample time in the ray batch's dtype, so one Skybox serves
     f32 and f64 paths. ``dtype`` is accepted for API compatibility and
     ignored. Packing is done in NumPy on host — one cheap transfer, no
-    eager device ops."""
+    eager device ops. ``procedural`` tags generator-produced cubemaps so
+    the render kernel can evaluate them in place of the texel gather."""
     f = np.asarray(faces_u8, np.uint32)
     packed = (f[..., 0] << 16) | (f[..., 1] << 8) | f[..., 2]
-    return Skybox(packed=jnp.asarray(packed))
+    return Skybox(packed=jnp.asarray(packed), procedural=procedural)
 
 
 def load_skybox(name_or_dir: str, dtype=jnp.float32,
@@ -137,10 +139,13 @@ def load_skybox(name_or_dir: str, dtype=jnp.float32,
     for c in candidates:
         if os.path.isdir(c):
             return skybox_from_faces(load_skybox_faces(c), dtype)
-    gen = PROCEDURAL_SKYBOXES.get(os.path.basename(name_or_dir))
+    base = os.path.basename(name_or_dir)
+    gen = PROCEDURAL_SKYBOXES.get(base)
     if gen is None:
         raise AssetError(f"Error opening skybox {name_or_dir}")
-    return skybox_from_faces(gen(), dtype)
+    # 'colors' and 'uv_checker' have exact in-kernel evaluations; tag them
+    tag = base if base in ("colors", "uv_checker") else None
+    return skybox_from_faces(gen(), dtype, procedural=tag)
 
 
 # ---------------------------------------------------------------------------
@@ -171,22 +176,28 @@ def make_uv_checker_skybox(dim: int = 256, squares: int = 8) -> np.ndarray:
     """A uv-orientation debug cubemap in the spirit of the reference's
     ``skybox/uv_checker``: per-face hue with a checker whose brightness
     encodes (u, v), so flips/rotations of the sampling math are visible."""
-    face_hues = make_colors_skybox(1)[:, 0, 0, :].astype(np.float32) / 255.0
-    u = np.linspace(0.0, 1.0, dim, endpoint=False)
-    uu, vv = np.meshgrid(u, u, indexing="xy")
-    checker = ((np.floor(uu * squares) + np.floor(vv * squares)) % 2).astype(
-        np.float32
-    )
-    shade = 0.25 + 0.5 * checker
-    ramp_r = uu  # u ramps red-ward, v ramps green-ward
-    ramp_g = vv
-    out = np.empty((6, dim, dim, 3), np.float32)
+    # all-float32 arithmetic, exactly mirroring the in-kernel evaluation
+    # (ttrt.kernels.render_pallas._sky_color_procedural) so the kernel's
+    # gather-free path is BIT-IDENTICAL to these texels.
+    f32 = np.float32
+    face_hues = make_colors_skybox(1)[:, 0, 0, :].astype(f32) / f32(255)
+    u = (np.arange(dim, dtype=f32) / f32(dim))
+    uu = np.broadcast_to(u[None, :], (dim, dim))  # u along columns
+    vv = np.broadcast_to(u[:, None], (dim, dim))  # v along rows
+    checker = (
+        (np.floor(uu * f32(squares)) + np.floor(vv * f32(squares))) % f32(2)
+    ).astype(f32)
+    shade = f32(0.25) + f32(0.5) * checker
+    out = np.empty((6, dim, dim, 3), f32)
     for f in range(6):
-        base = face_hues[f] * shade[..., None]
-        base[..., 0] = np.clip(base[..., 0] + 0.3 * ramp_r, 0, 1)
-        base[..., 1] = np.clip(base[..., 1] + 0.3 * ramp_g, 0, 1)
-        out[f] = base
-    return (out * 255).astype(np.uint8)
+        out[f, ..., 0] = np.clip(
+            face_hues[f, 0] * shade + f32(0.3) * uu, f32(0), f32(1)
+        )
+        out[f, ..., 1] = np.clip(
+            face_hues[f, 1] * shade + f32(0.3) * vv, f32(0), f32(1)
+        )
+        out[f, ..., 2] = face_hues[f, 2] * shade
+    return (out * f32(255)).astype(np.uint8)
 
 
 def make_starfield_skybox(dim: int = 256, density: float = 0.002,

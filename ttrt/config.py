@@ -64,6 +64,9 @@ class RenderConfig:
     frame_rate: float = 60.0
     dtype: Any = jnp.float32
     skybox_bilinear: bool = False
+    # Blinn-Phong specular highlights: present in the reference only as
+    # commented-out code (TerminalRayTracer.c:913-916, 947-950); off = parity.
+    specular: bool = False
 
     @property
     def frame_duration(self) -> float:

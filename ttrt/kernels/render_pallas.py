@@ -42,12 +42,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ttrt.config import RenderConfig, constants
-from ttrt.render.skybox import CUBEMAP_AXES, U_AXIS, V_AXIS
+from ttrt.render.skybox import (CUBEMAP_AXES, U_AXIS, V_AXIS,
+                               fetch_packed_texels)
 from ttrt.scene import Scene
 from ttrt.vec import Vec3
 
-# Tile geometry: (TILE_R, 128) rays per grid step. 8 sublane-groups of f32.
-TILE_R = 32
+# Tile geometry: (TILE_R, 128) rays per grid step. 16 sublane-groups of f32
+# — the sweet spot for the fully-unrolled bounce chain (32 doubles both
+# compile time and register pressure for no speedup).
+TILE_R = 16
 LANES = 128
 TILE = TILE_R * LANES
 
@@ -347,12 +350,12 @@ def _apply_lighting(
     return clamp01(outr), clamp01(outg), clamp01(outb)  # c:960
 
 
-def _sky_texel_index(dx, dy, dz, dim: int):
-    """Flat skybox texel index for a direction tile (get_skybox_color,
-    TerminalRayTracer.c:700-789) with the per-face uv fixups folded into the
-    U_AXIS/V_AXIS tables (ttrt.render.skybox). Branch-free: the 6-way face
-    select is an unrolled masked max; axis/uv tables are baked Python
-    constants selected by where-chains."""
+def _sky_face_uv(dx, dy, dz, dim: int):
+    """(face, ui, vi) texel coordinates for a direction tile
+    (get_skybox_color, TerminalRayTracer.c:700-789) with the per-face uv
+    fixups folded into the U_AXIS/V_AXIS tables (ttrt.render.skybox).
+    Branch-free: the 6-way face select is an unrolled masked max; axis/uv
+    tables are baked Python constants selected by where-chains."""
     ddx, ddy, ddz = _normalize3(dx, dy, dz)
 
     best = None
@@ -390,7 +393,71 @@ def _sky_texel_index(dx, dy, dz, dim: int):
     v = jnp.minimum(jnp.maximum(v, -0.5), 0.5)
     ui = jnp.minimum(((u + 0.5) * dim).astype(jnp.int32), dim - 1)
     vi = jnp.minimum(((v + 0.5) * dim).astype(jnp.int32), dim - 1)
+    return face, ui, vi
+
+
+def _sky_texel_index(dx, dy, dz, dim: int):
+    """Flat texel index (face*dim^2 + v*dim + u) for the deferred gather."""
+    face, ui, vi = _sky_face_uv(dx, dy, dz, dim)
     return face * (dim * dim) + vi * dim + ui
+
+
+# face colors of the 'colors' debug cubemap, /255 (ttrt.assets
+# make_colors_skybox): +X red, -X cyan, +Y green, -Y magenta, +Z blue,
+# -Z yellow — all channel values are exactly 0.0 or 1.0.
+_FACE_COLORS01 = (
+    (1.0, 0.0, 0.0),
+    (0.0, 1.0, 1.0),
+    (0.0, 1.0, 0.0),
+    (1.0, 0.0, 1.0),
+    (0.0, 0.0, 1.0),
+    (1.0, 1.0, 0.0),
+)
+
+
+def _sky_color_procedural(dx, dy, dz, dim: int, kind: str):
+    """Evaluate a PROCEDURAL cubemap in-kernel, bit-identical to the
+    stored texels (the generators in ttrt.assets compute in pure float32
+    with exactly this op order, then quantize with (x*255) truncation;
+    we replay that and divide back by 255). Eliminates the deferred texel
+    gather — by far the most expensive operation of the whole renderer
+    (XLA per-element gathers: ~8 ns each, ~10 ms/frame at the reference
+    workload)."""
+    face, ui, vi = _sky_face_uv(dx, dy, dz, dim)
+
+    def sel(table_col):
+        out = jnp.full_like(dx, float(table_col[0]))
+        for f in range(1, 6):
+            out = jnp.where(face == f, float(table_col[f]), out)
+        return out
+
+    hue_r = sel([c[0] for c in _FACE_COLORS01])
+    hue_g = sel([c[1] for c in _FACE_COLORS01])
+    hue_b = sel([c[2] for c in _FACE_COLORS01])
+
+    if kind == "colors":
+        # texels are exactly 0 or 255; quantization round-trips exactly
+        return hue_r, hue_g, hue_b
+
+    if kind != "uv_checker":
+        raise ValueError(f"unknown procedural skybox {kind!r}")
+
+    # true division matches the generator's arange(dim)/dim for ANY dim
+    u01 = ui.astype(jnp.float32) / jnp.float32(dim)
+    v01 = vi.astype(jnp.float32) / jnp.float32(dim)
+    squares = jnp.float32(8.0)
+    checker = jnp.mod(
+        jnp.floor(u01 * squares) + jnp.floor(v01 * squares),
+        jnp.float32(2.0),
+    )
+    shade = jnp.float32(0.25) + jnp.float32(0.5) * checker
+    clamp01 = lambda x: jnp.minimum(jnp.maximum(x, 0.0), 1.0)
+    r = clamp01(hue_r * shade + jnp.float32(0.3) * u01)
+    g = clamp01(hue_g * shade + jnp.float32(0.3) * v01)
+    b = hue_b * shade
+    # replay the generator's (x*255) -> uint8 truncation -> /255
+    q = lambda x: (x * 255.0).astype(jnp.int32).astype(jnp.float32) / 255.0
+    return q(r), q(g), q(b)
 
 
 # ---------------------------------------------------------------------------
@@ -407,8 +474,8 @@ def _read_tuples(ref, n: int, width: int) -> list:
 
 def _render_kernel(
     cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
-    pix_r_ref, pix_g_ref, pix_b_ref, total_ref,  # VMEM per-ray outputs
-    sky_idx_ref, sky_w_ref, count_ref,  # VMEM / SMEM outputs
+    pix_r_ref, pix_g_ref, pix_b_ref, total_ref, count_ref,  # VMEM outputs
+    sky_idx_ref=None, sky_w_ref=None,  # VMEM outputs (textured path only)
     *,
     cfg: RenderConfig,
     n_spheres: int,
@@ -416,6 +483,7 @@ def _render_kernel(
     n_pl: int,
     sky_dim: int,
     tile_r: int,
+    procedural: str = None,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
     n_rays = W * H * N
@@ -474,19 +542,41 @@ def _render_kernel(
     pl_vals = _read_tuples(pl_ref, n_pl, 7)
 
     # --- masked bounce loop (project_scene, TerminalRayTracer.c:1012-1057)
-    def cond(s):
-        # s[0] = bounce counter, s[-1] = any-lane-alive scalar
-        return (s[0] < cfg.bounce_limit) & s[-1]
+    #
+    # The loop is FULLY UNROLLED as straight-line SSA code — no
+    # lax.while_loop, no fori_loop, no scratch state. Measured on v5e:
+    # the identical math runs at 13.7 ms/frame inside a Mosaic loop (any
+    # variant tried: while with fat carry, fori with minimal carry,
+    # fori + VMEM-scratch state + pl.when early-skip) but 3.3 ms/frame
+    # unrolled — Mosaic materializes loop-carried vectors through memory
+    # with poor scheduling, while the unrolled form lets it register-
+    # allocate and pipeline the whole bounce chain. bounce_limit is a
+    # static config, so the unroll factor is fixed at trace time (compile
+    # cost ~2 min at depth 10 on the remote compiler, cached thereafter).
+    #
+    # Lane-state tricks (identical semantics to the jnp oracle):
+    #   - aliveness is encoded IN `contrib`: a ray that misses records its
+    #     weight in sky_w and zeroes contrib, so alive == contrib > eps —
+    #     exactly the oracle's `still_going && contrib > eps`;
+    #   - the sky direction needs no extra state: o/d are FROZEN on the
+    #     death iteration, so the final d IS the sky direction for
+    #     sky-terminated lanes (reflectivity-cutoff lanes have sky_w == 0,
+    #     so their garbage-but-in-range texel index is weighted by zero);
+    #   - per-lane trace counters pack bounces | hits<<8 (summed host-side
+    #     into the honest Mrays/s counter).
+    zero = jnp.zeros_like(dx)
+    pr, pg, pb = zero, zero, zero
+    # contribution doubles as the aliveness flag; padding lanes start dead
+    contrib = jnp.where(lane_valid, 1.0, 0.0).astype(dx.dtype)
+    total = zero
+    sky_w = zero
+    count = jnp.zeros_like(idx)
 
-    def body(s):
-        (i, ox_, oy_, oz_, dx_, dy_, dz_, pr, pg, pb, contrib, total,
-         going, sdx, sdy, sdz, sw_, count, _any) = s
-        # `going` rides the carry as int32 (Mosaic can't round-trip i1
-        # vectors through loop state); compare back to a mask here.
-        alive = (going != 0) & (contrib > constants.CONTRIBUTION_EPS)
-
-        hit = _trace(ox_, oy_, oz_, dx_, dy_, dz_, sph_vals, plane_vals)
+    for _b in range(cfg.bounce_limit):
+        alive = contrib > constants.CONTRIBUTION_EPS
+        hit = _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals)
         miss_now = alive & ~hit.is_hit
+        upd = alive & hit.is_hit  # lanes whose ray continues
 
         lr, lg, lb = _apply_lighting(
             hit.px, hit.py, hit.pz, hit.nx, hit.ny, hit.nz,
@@ -499,61 +589,44 @@ def _render_kernel(
         pg = pg + hw * lg
         pb = pb + hw * lb
         total = total + aw
-
-        sw_n = jnp.where(miss_now, contrib, sw_)
-        sdx_n = jnp.where(miss_now, dx_, sdx)
-        sdy_n = jnp.where(miss_now, dy_, sdy)
-        sdz_n = jnp.where(miss_now, dz_, sdz)
-
-        contrib_n = jnp.where(
-            alive,
-            jnp.where(hit.is_hit, contrib * hit.refl, 0.0),
-            contrib,
+        sky_w = jnp.where(miss_now, contrib, sky_w)
+        contrib = jnp.where(
+            alive, jnp.where(upd, contrib * hit.refl, 0.0), contrib
         )
-        going_n = jnp.where(alive, hit.is_hit.astype(jnp.int32), going)
 
-        # reflect off the hit normal (TerminalRayTracer.c:1054-1056)
-        dn = 2.0 * (dx_ * hit.nx + dy_ * hit.ny + dz_ * hit.nz)
+        # reflect off the hit normal (TerminalRayTracer.c:1054-1056);
+        # freeze o/d on dead lanes (d doubles as the sky direction)
+        dn = 2.0 * (dx * hit.nx + dy * hit.ny + dz * hit.nz)
         rdx, rdy, rdz = _normalize3(
-            dx_ - dn * hit.nx, dy_ - dn * hit.ny, dz_ - dn * hit.nz
+            dx - dn * hit.nx, dy - dn * hit.ny, dz - dn * hit.nz
+        )
+        dx = jnp.where(upd, rdx, dx)
+        dy = jnp.where(upd, rdy, dy)
+        dz = jnp.where(upd, rdz, dz)
+        # hit.point == the old origin on miss -> dead lanes stay put
+        ox = jnp.where(upd, hit.px, ox)
+        oy = jnp.where(upd, hit.py, oy)
+        oz = jnp.where(upd, hit.pz, oz)
+
+        count = count + alive.astype(jnp.int32) + (
+            upd.astype(jnp.int32) << 8
         )
 
-        # per-lane trace accounting, packed bounces | hits<<8 (both <= 255):
-        # summed on the host side into the honest Mrays/s counter.
-        count_n = count + alive.astype(jnp.int32) + (
-            (alive & hit.is_hit).astype(jnp.int32) << 8
-        )
-
-        alive_next = (going_n != 0) & (contrib_n > constants.CONTRIBUTION_EPS)
-        return (
-            i + 1, hit.px, hit.py, hit.pz, rdx, rdy, rdz, pr, pg, pb,
-            contrib_n, total, going_n, sdx_n, sdy_n, sdz_n, sw_n, count_n,
-            jnp.any(alive_next),
-        )
-
-    zero = jnp.zeros_like(dx)
-    init = (
-        jnp.asarray(0, jnp.int32), ox, oy, oz, dx, dy, dz,
-        zero, zero, zero,  # pixel accumulators
-        jnp.ones_like(dx),  # contribution
-        zero,  # total
-        lane_valid.astype(jnp.int32),  # still_going (padding starts dead)
-        dx, dy, dz,  # sky dir (weight 0 until a miss records it)
-        zero,  # sky weight
-        jnp.zeros_like(idx),  # per-lane packed trace counters
-        jnp.asarray(True),  # any alive
-    )
-    out = jax.lax.while_loop(cond, body, init)
-    (_, _, _, _, _, _, _, pr, pg, pb, _, total, _, sdx, sdy, sdz, sw_,
-     count, _) = out
-
+    if procedural is not None:
+        # gather-free path: evaluate the cubemap pattern in-kernel and fold
+        # the sky contribution straight into the pixel accumulators
+        skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, procedural)
+        pr = pr + sky_w * skr
+        pg = pg + sky_w * skg
+        pb = pb + sky_w * skb
     pix_r_ref[0] = pr
     pix_g_ref[0] = pg
     pix_b_ref[0] = pb
     total_ref[0] = total
-    sky_idx_ref[0] = _sky_texel_index(sdx, sdy, sdz, sky_dim)
-    sky_w_ref[0] = sw_
     count_ref[0] = count
+    if procedural is None:
+        sky_idx_ref[0] = _sky_texel_index(dx, dy, dz, sky_dim)
+        sky_w_ref[0] = sky_w
 
 
 # ---------------------------------------------------------------------------
@@ -563,7 +636,7 @@ def _render_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_spheres", "n_dl", "n_pl", "sky_dim",
-                              "interpret", "tile_r")
+                              "interpret", "tile_r", "procedural")
 )
 def _render_rays_pallas(
     packed: PackedScene,
@@ -575,6 +648,7 @@ def _render_rays_pallas(
     sky_dim: int,
     interpret: bool = False,
     tile_r: int = TILE_R,
+    procedural: str = None,
 ):
     n_rays = cfg.width * cfg.height * cfg.rays_per_pixel
     n_tiles = pl.cdiv(n_rays, tile_r * LANES)
@@ -587,6 +661,7 @@ def _render_rays_pallas(
         n_pl=n_pl,
         sky_dim=sky_dim,
         tile_r=tile_r,
+        procedural=procedural,
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -600,10 +675,13 @@ def _render_rays_pallas(
         tile_out(jnp.float32),  # pix_g
         tile_out(jnp.float32),  # pix_b
         tile_out(jnp.float32),  # total
-        tile_out(jnp.int32),  # sky_idx
-        tile_out(jnp.float32),  # sky_w
         tile_out(jnp.int32),  # packed per-lane trace counters
     ]
+    if procedural is None:
+        shapes_specs += [
+            tile_out(jnp.int32),  # sky_idx
+            tile_out(jnp.float32),  # sky_w
+        ]
     out_shape = [s for s, _ in shapes_specs]
     out_specs = [sp for _, sp in shapes_specs]
 
@@ -617,26 +695,33 @@ def _render_rays_pallas(
     )(packed.cam, packed.spheres, packed.plane, packed.dlights,
       packed.plights)
 
-    pr, pg, pb, total, sky_idx, sky_w, counts = outs
-
     def flat(a):
         return a.reshape(-1)[:n_rays]
 
-    # deferred skybox gather + final normalization (one XLA gather; texels
-    # are packed 0x00RRGGBB so it is a single 4-byte fetch per ray)
-    texel = jnp.take(skybox_flat, flat(sky_idx))
-    c255 = jnp.asarray(255.0, jnp.float32)
-    skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
-    skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
-    skb = (texel & 0xFF).astype(jnp.float32) / c255
+    if procedural is None:
+        pr, pg, pb, total, counts, sky_idx, sky_w = outs
+        # deferred skybox fetch + final normalization (texels are packed
+        # 0x00RRGGBB so each ray needs ONE 4-byte texel)
+        texel = fetch_packed_texels(skybox_flat, flat(sky_idx))
+        c255 = jnp.asarray(255.0, jnp.float32)
+        skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
+        skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
+        skb = (texel & 0xFF).astype(jnp.float32) / c255
 
-    w = flat(sky_w)
-    inv_total = 1.0 / flat(total)
-    color = Vec3(
-        (flat(pr) + w * skr) * inv_total,
-        (flat(pg) + w * skg) * inv_total,
-        (flat(pb) + w * skb) * inv_total,
-    )
+        w = flat(sky_w)
+        inv_total = 1.0 / flat(total)
+        color = Vec3(
+            (flat(pr) + w * skr) * inv_total,
+            (flat(pg) + w * skg) * inv_total,
+            (flat(pb) + w * skb) * inv_total,
+        )
+    else:
+        # procedural skybox: the kernel already folded the sky color in
+        pr, pg, pb, total, counts = outs
+        inv_total = 1.0 / flat(total)
+        color = Vec3(
+            flat(pr) * inv_total, flat(pg) * inv_total, flat(pb) * inv_total
+        )
     # unpack per-lane counters: traces = bounces + hits * n_lights
     stats = flat(counts)
     bounces = (stats & 0xFF).astype(jnp.uint32)
@@ -660,6 +745,11 @@ def render_frame_pallas(
         raise ValueError("pallas path is float32-only")
     if cfg.skybox_bilinear:
         raise ValueError("pallas path implements nearest-neighbor skybox")
+    if cfg.specular:
+        raise ValueError(
+            "pallas path implements the reference's diffuse-only shading; "
+            "use the XLA path for the specular extension"
+        )
     packed = pack_scene(scene, jnp.float32)
     color, count = _render_rays_pallas(
         packed,
@@ -671,6 +761,7 @@ def render_frame_pallas(
         scene.skybox.dim,
         interpret,
         tile_r,
+        scene.skybox.procedural,
     )
     H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
 

@@ -146,7 +146,8 @@ def trace_batch(
 
         view = -s.d
         lit = apply_lighting(
-            scene, hit.point, view, hit.normal, hit.material.color
+            scene, hit.point, view, hit.normal, hit.material.color,
+            hit.material.specularity, specular=cfg.specular,
         )
         # miss lanes contribute 0 in-loop (sky color added post-loop)
         color = lit.where(is_hit, Vec3.full_like(s.d, 0.0, 0.0, 0.0))

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -140,7 +141,8 @@ class Camera(NamedTuple):
         )
 
 
-class Skybox(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class Skybox:
     """Cubemap skybox (Skybox struct, TerminalRayTracer.c:129-135).
 
     TPU-first texel layout: the six square faces are ONE uint32 array of
@@ -151,21 +153,45 @@ class Skybox(NamedTuple):
     computed in the ray batch's dtype, matching the reference's conversion
     at sample time (TerminalRayTracer.c:866).
 
+    ``procedural`` is STATIC pytree metadata naming the generator that
+    produced the texels (e.g. 'colors', 'uv_checker'), or None for image
+    data. The Pallas render kernel uses it to evaluate known patterns
+    in-kernel — bit-identical to the stored texels — skipping the texel
+    gather entirely (the gather is otherwise the single most expensive op
+    of the whole renderer: XLA lowers per-element gathers to ~8 ns each).
+
     Face order is +X,-X,+Y,-Y,+Z,-Z (TerminalRayTracer.c:132).
     """
 
-    packed: jnp.ndarray  # (6, dim, dim) uint32, 0x00RRGGBB
+    def __init__(self, packed: jnp.ndarray, procedural: Optional[str] = None):
+        self.packed = packed  # (6, dim, dim) uint32, 0x00RRGGBB
+        self.procedural = procedural
+
+    def tree_flatten(self):
+        return (self.packed,), self.procedural
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux)
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, Skybox)
+            and other.procedural == self.procedural
+            and other.packed is self.packed
+        )
 
     @property
     def dim(self) -> int:
         return self.packed.shape[-1]
 
     @staticmethod
-    def from_uint8(faces_u8) -> "Skybox":
+    def from_uint8(faces_u8, procedural: Optional[str] = None) -> "Skybox":
         """(6, dim, dim, 3) uint8 -> packed device Skybox."""
         f = jnp.asarray(faces_u8, jnp.uint32)
         return Skybox(
-            packed=(f[..., 0] << 16) | (f[..., 1] << 8) | f[..., 2]
+            packed=(f[..., 0] << 16) | (f[..., 1] << 8) | f[..., 2],
+            procedural=procedural,
         )
 
     def to_uint8(self) -> jnp.ndarray:
