@@ -32,3 +32,15 @@ def test_frame_meter_without_rays():
     m.update(0.1)
     assert "fps" in m.hud()
     assert m.mrays is None
+
+
+def test_count_bits():
+    import numpy as np
+    import jax.numpy as jnp
+    from ttrt.utils import count_bits
+
+    assert count_bits(0) == 0
+    assert count_bits(0b1011) == 3
+    assert count_bits(0xFFFFFFFF) == 32
+    out = np.asarray(count_bits(jnp.asarray([0, 1, 3, 255], jnp.int32)))
+    np.testing.assert_array_equal(out, [0, 1, 2, 8])

@@ -76,3 +76,37 @@ def test_sharded_frame_fn_ansi():
     assert buf.shape == (ansi_buffer_size(W, H),)
     assert bytes(np.asarray(buf[:6])) == b"\033[0;0H"
     assert int(rays) > 0
+
+
+class TestShardedMeshScene:
+    """The many-object tier shards identically to the demo tier: rays are
+    independent, the grid + triangles replicate, zero cross-chip traffic
+    during traversal."""
+
+    def test_mesh_scene_sharded_matches_single(self):
+        import numpy as np
+        from ttrt.assets import make_colors_skybox, skybox_from_faces
+        from ttrt.config import RenderConfig
+        from ttrt.mesh import many_sphere_scene
+        from ttrt.parallel.sharding import make_mesh, render_frame_sharded
+        from ttrt.render.integrator import render_frame
+
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=2,
+                           bounce_limit=3, dtype=jnp.float32)
+        scene = many_sphere_scene(
+            skybox_from_faces(make_colors_skybox(8), jnp.float32),
+            n_spheres=32, width_px=cfg.width, height_px=cfg.height,
+            floor_cells=2,
+        )
+        mesh = make_mesh(4, 2)
+        fb_s, rays_s = jax.jit(
+            lambda s: render_frame_sharded(s, cfg, mesh)
+        )(scene)
+        fb, rays = jax.jit(
+            lambda s: render_frame(s, cfg, count_rays=True)
+        )(scene)
+        np.testing.assert_allclose(
+            np.asarray(fb_s.to_array()), np.asarray(fb.to_array()),
+            atol=1e-5,
+        )
+        assert int(rays_s) == int(rays)

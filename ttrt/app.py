@@ -342,10 +342,16 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
     skybox = assets.load_skybox(skybox_name, cfg.dtype)
     scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
 
+    render = None if pathtrace else _pick_renderer(scene, cfg)
+    use_pallas = render is not None and render is not render_frame
     if n_bands is None:
-        # auto: band whenever the frame exceeds ~2M rays
+        # auto: band whenever the frame exceeds ~2M rays. The Pallas path
+        # needs no banding — its bounce state lives per-tile in VMEM, so
+        # frame size only scales the small output arrays.
         n_bands = 1
-        if cfg.n_primary_rays > 2_000_000:
+        if not use_pallas and not pathtrace and (
+            cfg.n_primary_rays > 2_000_000
+        ):
             n_bands = max(
                 d for d in range(1, 17) if cfg.height % d == 0
             )
@@ -367,7 +373,7 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         elif n_bands > 1:
             fb, _ = render_frame_tiled(s, cfg, n_bands)
         else:
-            fb, _ = render_frame(s, cfg)
+            fb, _ = render(s, cfg)
         return encode_rgb_frame(fb)
 
     rgb = np.asarray(still(scene, jnp.asarray(t, cfg.dtype)))
@@ -423,6 +429,10 @@ def main(argv=None) -> int:
                         "frames; 0 = fully synchronous)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler device trace for the run")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans: abort on the first NaN "
+                        "produced on device (the data-race-detector analog "
+                        "for a lockstep machine)")
     p.add_argument("--stats", action="store_true",
                    help="log per-stage timing summary to stderr on exit")
     p.add_argument("--no-input", action="store_true",
@@ -450,6 +460,8 @@ def main(argv=None) -> int:
         p.error("--width/--height/--spp/--bounces must be >= 1")
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
         jax.config.update("jax_enable_x64", True)
