@@ -472,6 +472,152 @@ def _read_tuples(ref, n: int, width: int) -> list:
     ]
 
 
+def _render_kernel_acc(
+    cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
+    pix_r_ref, pix_g_ref, pix_b_ref, count_ref,  # pixel-rate accumulators
+    *,
+    cfg: RenderConfig,
+    n_spheres: int,
+    n_dl: int,
+    n_pl: int,
+    sky_dim: int,
+    tile_r: int,
+    procedural: str,
+):
+    """Sample-accumulating variant for PROCEDURAL skyboxes: grid is
+    (pixel_tiles, spp); each step renders ONE AA sample of a pixel tile,
+    finalizes it completely in-kernel (sky fold + contribution-total
+    normalization, TerminalRayTracer.c:1061-1065), and += into the
+    pixel-rate output block — which stays VMEM-resident across the sample
+    dimension (the output index_map ignores the sample index). Kills the
+    sample-rate epilogue entirely: outputs shrink spp-fold and the XLA
+    tail reduces to one *(1/spp) pass."""
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    n_pixels = W * H
+
+    i = pl.program_id(0)  # pixel tile
+    ks = pl.program_id(1)  # AA sample
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 1)
+    )
+    pix = i * (tile_r * LANES) + lane
+    lane_valid = pix < n_pixels
+    col = (pix % W).astype(jnp.float32)
+    row = (pix // W).astype(jnp.float32)
+    kf = ks.astype(jnp.float32)
+
+    bx0, bx1, bx2 = cam_ref[0], cam_ref[1], cam_ref[2]
+    by0, by1, by2 = cam_ref[3], cam_ref[4], cam_ref[5]
+    bz0, bz1, bz2 = cam_ref[6], cam_ref[7], cam_ref[8]
+    cox, coy, coz = cam_ref[9], cam_ref[10], cam_ref[11]
+    szc, sw, sh = cam_ref[12], cam_ref[13], cam_ref[14]
+    pixel_w = sw / W
+    pixel_h = sh / H
+
+    def tri(t):
+        m = jnp.mod(t, 2.0 * constants.PI)
+        return jnp.where(
+            m < constants.PI, m / constants.PI, 2.0 - m / constants.PI
+        )
+
+    # per-sample jitter is SCALAR here (one sample per grid step)
+    jit_x = tri(2.0 * constants.PI * kf / N) / 2.0 * pixel_w
+    jit_y = tri(constants.PI * kf / N) / 2.0 * pixel_h
+    sxv = (col / W) * sw - sw / 2.0 + jit_x
+    syv = -((row / H) * sh - sh / 2.0) + jit_y
+    dx, dy, dz = _normalize3(
+        sxv * bx0 + syv * by0 + szc * bz0 - cox,
+        sxv * bx1 + syv * by1 + szc * bz1 - coy,
+        sxv * bx2 + syv * by2 + szc * bz2 - coz,
+    )
+    ox = jnp.full_like(dx, cox)
+    oy = jnp.full_like(dx, coy)
+    oz = jnp.full_like(dx, coz)
+
+    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
+    plane_vals = tuple(plane_ref[i] for i in range(14))
+    dl_vals = _read_tuples(dl_ref, n_dl, 6)
+    pl_vals = _read_tuples(pl_ref, n_pl, 7)
+
+    (pr, pg, pb, total, sky_w, count, dx, dy, dz) = _bounce_chain(
+        ox, oy, oz, dx, dy, dz, lane_valid,
+        sph_vals, plane_vals, dl_vals, pl_vals, cfg.bounce_limit,
+    )
+
+    skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, procedural)
+    # finalize THIS sample: (pixel + w*sky) / contribution_total
+    # (guard the padding lanes' total==0; they are sliced off outside)
+    inv_total = 1.0 / jnp.where(total > 0.0, total, 1.0)
+    cr = (pr + sky_w * skr) * inv_total
+    cg = (pg + sky_w * skg) * inv_total
+    cb = (pb + sky_w * skb) * inv_total
+
+    @pl.when(ks == 0)
+    def _():
+        pix_r_ref[0] = jnp.zeros_like(cr)
+        pix_g_ref[0] = jnp.zeros_like(cg)
+        pix_b_ref[0] = jnp.zeros_like(cb)
+        count_ref[0] = jnp.zeros_like(count)
+
+    pix_r_ref[0] = pix_r_ref[0] + cr
+    pix_g_ref[0] = pix_g_ref[0] + cg
+    pix_b_ref[0] = pix_b_ref[0] + cb
+    count_ref[0] = count_ref[0] + count
+
+
+def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
+                  dl_vals, pl_vals, bounce_limit: int):
+    """The fully-unrolled masked bounce loop shared by both kernel
+    layouts; returns accumulators + the final (frozen-on-death) direction
+    (see _render_kernel for the rationale and semantics notes)."""
+    zero = jnp.zeros_like(dx)
+    pr, pg, pb = zero, zero, zero
+    contrib = jnp.where(lane_valid, 1.0, 0.0).astype(dx.dtype)
+    total = zero
+    sky_w = zero
+    count = jnp.zeros(lane_valid.shape, jnp.int32)
+
+    for _b in range(bounce_limit):
+        alive = contrib > constants.CONTRIBUTION_EPS
+        hit = _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals)
+        miss_now = alive & ~hit.is_hit
+        upd = alive & hit.is_hit
+
+        lr, lg, lb = _apply_lighting(
+            hit.px, hit.py, hit.pz, hit.nx, hit.ny, hit.nz,
+            hit.cr, hit.cg, hit.cb, dl_vals, pl_vals, sph_vals, plane_vals,
+        )
+        aw = jnp.where(alive, contrib, 0.0)
+        hw = jnp.where(hit.is_hit, aw, 0.0)
+        pr = pr + hw * lr
+        pg = pg + hw * lg
+        pb = pb + hw * lb
+        total = total + aw
+        sky_w = jnp.where(miss_now, contrib, sky_w)
+        contrib = jnp.where(
+            alive, jnp.where(upd, contrib * hit.refl, 0.0), contrib
+        )
+
+        dn = 2.0 * (dx * hit.nx + dy * hit.ny + dz * hit.nz)
+        rdx, rdy, rdz = _normalize3(
+            dx - dn * hit.nx, dy - dn * hit.ny, dz - dn * hit.nz
+        )
+        dx = jnp.where(upd, rdx, dx)
+        dy = jnp.where(upd, rdy, dy)
+        dz = jnp.where(upd, rdz, dz)
+        ox = jnp.where(upd, hit.px, ox)
+        oy = jnp.where(upd, hit.py, oy)
+        oz = jnp.where(upd, hit.pz, oz)
+
+        # pack bounces | hits<<16: 16-bit fields so sums over all AA
+        # samples of a pixel can never overflow (spp * bounce_limit < 2^16)
+        count = count + alive.astype(jnp.int32) + (
+            upd.astype(jnp.int32) << 16
+        )
+    return pr, pg, pb, total, sky_w, count, dx, dy, dz
+
+
 def _render_kernel(
     cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
     pix_r_ref, pix_g_ref, pix_b_ref, total_ref, count_ref,  # VMEM outputs
@@ -564,53 +710,10 @@ def _render_kernel(
     #     so their garbage-but-in-range texel index is weighted by zero);
     #   - per-lane trace counters pack bounces | hits<<8 (summed host-side
     #     into the honest Mrays/s counter).
-    zero = jnp.zeros_like(dx)
-    pr, pg, pb = zero, zero, zero
-    # contribution doubles as the aliveness flag; padding lanes start dead
-    contrib = jnp.where(lane_valid, 1.0, 0.0).astype(dx.dtype)
-    total = zero
-    sky_w = zero
-    count = jnp.zeros_like(idx)
-
-    for _b in range(cfg.bounce_limit):
-        alive = contrib > constants.CONTRIBUTION_EPS
-        hit = _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals)
-        miss_now = alive & ~hit.is_hit
-        upd = alive & hit.is_hit  # lanes whose ray continues
-
-        lr, lg, lb = _apply_lighting(
-            hit.px, hit.py, hit.pz, hit.nx, hit.ny, hit.nz,
-            hit.cr, hit.cg, hit.cb, dl_vals, pl_vals, sph_vals, plane_vals,
-        )
-        # miss lanes contribute 0 in-loop; sky color added post-gather
-        aw = jnp.where(alive, contrib, 0.0)
-        hw = jnp.where(hit.is_hit, aw, 0.0)
-        pr = pr + hw * lr
-        pg = pg + hw * lg
-        pb = pb + hw * lb
-        total = total + aw
-        sky_w = jnp.where(miss_now, contrib, sky_w)
-        contrib = jnp.where(
-            alive, jnp.where(upd, contrib * hit.refl, 0.0), contrib
-        )
-
-        # reflect off the hit normal (TerminalRayTracer.c:1054-1056);
-        # freeze o/d on dead lanes (d doubles as the sky direction)
-        dn = 2.0 * (dx * hit.nx + dy * hit.ny + dz * hit.nz)
-        rdx, rdy, rdz = _normalize3(
-            dx - dn * hit.nx, dy - dn * hit.ny, dz - dn * hit.nz
-        )
-        dx = jnp.where(upd, rdx, dx)
-        dy = jnp.where(upd, rdy, dy)
-        dz = jnp.where(upd, rdz, dz)
-        # hit.point == the old origin on miss -> dead lanes stay put
-        ox = jnp.where(upd, hit.px, ox)
-        oy = jnp.where(upd, hit.py, oy)
-        oz = jnp.where(upd, hit.pz, oz)
-
-        count = count + alive.astype(jnp.int32) + (
-            upd.astype(jnp.int32) << 8
-        )
+    (pr, pg, pb, total, sky_w, count, dx, dy, dz) = _bounce_chain(
+        ox, oy, oz, dx, dy, dz, lane_valid,
+        sph_vals, plane_vals, dl_vals, pl_vals, cfg.bounce_limit,
+    )
 
     if procedural is not None:
         # gather-free path: evaluate the cubemap pattern in-kernel and fold
@@ -636,7 +739,8 @@ def _render_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_spheres", "n_dl", "n_pl", "sky_dim",
-                              "interpret", "tile_r", "procedural")
+                              "interpret", "tile_r", "procedural",
+                              "accumulate")
 )
 def _render_rays_pallas(
     packed: PackedScene,
@@ -649,8 +753,63 @@ def _render_rays_pallas(
     interpret: bool = False,
     tile_r: int = TILE_R,
     procedural: str = None,
+    accumulate: bool = False,
 ):
-    n_rays = cfg.width * cfg.height * cfg.rays_per_pixel
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def count_to_rays(stats):
+        # unpack per-lane counters: traces = bounces + hits * n_lights
+        bounces = (stats & 0xFFFF).astype(jnp.uint32)
+        hits = ((stats >> 16) & 0xFFFF).astype(jnp.uint32)
+        n_lights = jnp.uint32(n_dl + n_pl)
+        return (bounces + hits * n_lights).sum(dtype=jnp.uint32)
+
+    if procedural is not None and accumulate:
+        # EXPERIMENTAL sample-accumulating layout: grid (pixel tiles, spp)
+        # with the output block revisited across the sample dimension.
+        # Measured 15x SLOWER than the sample-rate layout on v5e (the
+        # revisited accumulator stalls Mosaic's grid pipeline) — kept for
+        # future investigation, off by default.
+        n_pixels = W * H
+        n_ptiles = pl.cdiv(n_pixels, tile_r * LANES)
+        kernel = functools.partial(
+            _render_kernel_acc,
+            cfg=cfg, n_spheres=n_spheres, n_dl=n_dl, n_pl=n_pl,
+            sky_dim=sky_dim, tile_r=tile_r, procedural=procedural,
+        )
+        acc_out = lambda dt: (
+            jax.ShapeDtypeStruct((n_ptiles, tile_r, LANES), dt),
+            pl.BlockSpec((1, tile_r, LANES), lambda i, k: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        shapes_specs = [
+            acc_out(jnp.float32),  # pixel r (sum over samples)
+            acc_out(jnp.float32),  # pixel g
+            acc_out(jnp.float32),  # pixel b
+            acc_out(jnp.int32),  # packed trace counters (sum over samples)
+        ]
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_ptiles, N),
+            out_shape=[sp[0] for sp in shapes_specs],
+            in_specs=[smem() for _ in range(5)],
+            out_specs=[sp[1] for sp in shapes_specs],
+            interpret=interpret,
+        )(packed.cam, packed.spheres, packed.plane, packed.dlights,
+          packed.plights)
+        pr, pg, pb, counts = outs
+
+        def pflat(a):
+            return a.reshape(-1)[:n_pixels]
+
+        inv_n = jnp.float32(1.0 / N)
+        color = Vec3(
+            pflat(pr) * inv_n, pflat(pg) * inv_n, pflat(pb) * inv_n
+        )
+        return color, count_to_rays(pflat(counts))
+
+    n_rays = W * H * N
     n_tiles = pl.cdiv(n_rays, tile_r * LANES)
 
     kernel = functools.partial(
@@ -664,7 +823,6 @@ def _render_rays_pallas(
         procedural=procedural,
     )
 
-    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     tile_out = lambda dt: (
         jax.ShapeDtypeStruct((n_tiles, tile_r, LANES), dt),
         pl.BlockSpec((1, tile_r, LANES), lambda i: (i, 0, 0),
@@ -722,13 +880,7 @@ def _render_rays_pallas(
         color = Vec3(
             flat(pr) * inv_total, flat(pg) * inv_total, flat(pb) * inv_total
         )
-    # unpack per-lane counters: traces = bounces + hits * n_lights
-    stats = flat(counts)
-    bounces = (stats & 0xFF).astype(jnp.uint32)
-    hits = ((stats >> 8) & 0xFF).astype(jnp.uint32)
-    n_lights = jnp.uint32(n_dl + n_pl)
-    ray_count = (bounces + hits * n_lights).sum(dtype=jnp.uint32)
-    return color, ray_count
+    return color, count_to_rays(flat(counts))
 
 
 def render_frame_pallas(
@@ -751,6 +903,7 @@ def render_frame_pallas(
             "use the XLA path for the specular extension"
         )
     packed = pack_scene(scene, jnp.float32)
+    pixel_rate = False  # the accumulating layout is experimental/off
     color, count = _render_rays_pallas(
         packed,
         scene.skybox.packed.reshape(-1),
@@ -764,6 +917,13 @@ def render_frame_pallas(
         scene.skybox.procedural,
     )
     H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
+
+    if pixel_rate:
+        # accumulating kernel already averaged samples in place
+        return Vec3(
+            color.x.reshape(H, W), color.y.reshape(H, W),
+            color.z.reshape(H, W),
+        ), count
 
     def avg(c):
         return c.reshape(H, W, N).sum(axis=-1) * (1.0 / N)
