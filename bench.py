@@ -187,10 +187,161 @@ def bench_streaming(n_iters: int = 60) -> dict:
     }
 
 
+def bench_textured(n_iters: int = 20) -> dict:
+    """Demo workload with a FILE-style (non-procedural) skybox: exercises
+    the deferred texel fetch (row-gather + one-hot) instead of the
+    in-kernel procedural evaluation."""
+    from ttrt.frames import orbit_camera_frame
+    from ttrt.kernels.render_pallas import render_frame_pallas
+    from ttrt.scene import Skybox
+
+    cfg, scene = _build(
+        dict(width=480, height=280, rays_per_pixel=10, bounce_limit=10)
+    )
+    scene = scene._replace(
+        skybox=Skybox(scene.skybox.packed, procedural=None)
+    )
+
+    @jax.jit
+    def step(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        fb, rays = render_frame_pallas(scene.with_camera_frame(frame), cfg)
+        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+
+    ts = _staged_times(cfg, n_iters)
+    sec, outs = _throughput(step, scene, ts)
+    return {"mrays_textured": int(outs[-1][1]) / sec / 1e6}
+
+
+def bench_many_object(n_iters: int = 20) -> dict:
+    """Config-4 tier: 10k spheres + triangle-mesh floor through the
+    uniform grid (XLA DDA traversal)."""
+    from ttrt.assets import make_colors_skybox, skybox_from_faces
+    from ttrt.config import RenderConfig
+    from ttrt.frames import orbit_camera_frame
+    from ttrt.mesh import many_sphere_scene
+    from ttrt.render.integrator import render_frame
+
+    cfg = RenderConfig(width=240, height=64, rays_per_pixel=2,
+                       bounce_limit=3, dtype=jnp.float32)
+    scene = many_sphere_scene(
+        skybox_from_faces(make_colors_skybox(64), jnp.float32),
+        n_spheres=10_000, width_px=cfg.width, height_px=cfg.height,
+    )
+
+    @jax.jit
+    def step(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        fb, rays = render_frame(
+            scene.with_camera_frame(frame), cfg, count_rays=True
+        )
+        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+
+    ts = _staged_times(cfg, n_iters, base=0.5, step=0.21)
+    sec, outs = _throughput(step, scene, ts)
+    return {
+        "mrays_10k_grid": int(outs[-1][1]) / sec / 1e6,
+        "grid_dims": list(scene.grid.dims),
+    }
+
+
+def bench_physics(n_iters: int = 200) -> dict:
+    """Config-5 tier: GJK contact stepping rate for a 64-body world."""
+    from ttrt.physics.demo import build_physics_demo
+    from ttrt.physics.world import physics_step
+    from ttrt.scene import demo_scene, Spheres, Materials
+    from ttrt.assets import make_colors_skybox, skybox_from_faces
+    from ttrt.vec import Vec3
+
+    key = jax.random.PRNGKey(0)
+    n = 64
+    centers = jax.random.uniform(key, (n, 3), jnp.float32, -3.0, 3.0)
+    radii = jnp.full((n,), 0.25, jnp.float32)
+    base = demo_scene(
+        skybox_from_faces(make_colors_skybox(8), jnp.float32), 16, 8,
+        jnp.float32,
+    )
+    scene = base._replace(
+        spheres=Spheres(
+            center=Vec3.from_array(centers), radius=radii,
+            material=base.spheres.material.take(
+                jnp.zeros(n, jnp.int32)
+            ),
+        )
+    )
+    state, params = build_physics_demo(scene, jnp.float32)
+
+    @jax.jit
+    def step(s):
+        return physics_step(s, params, 1.0 / 60.0, substeps=1)
+
+    s = step(state)
+    jax.block_until_ready(jax.tree.leaves(s))
+
+    def chain(k):
+        x = state
+        for _ in range(k):
+            x = step(x)
+        jax.block_until_ready(jax.tree.leaves(x))
+        float(np.asarray(x.pos.x[0]))
+        return x
+
+    chain(3)
+    t0 = time.perf_counter()
+    chain(20)
+    t_small = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chain(n_iters)
+    t_big = time.perf_counter() - t0
+    per = (t_big - t_small) / (n_iters - 20)
+    return {"physics_steps_per_s_64body": 1.0 / max(per, 1e-9)}
+
+
+def bench_pathtrace(n_iters: int = 15) -> dict:
+    """Config-5 tier: soft-shadow path tracing throughput."""
+    from ttrt.frames import orbit_camera_frame
+    from ttrt.render.pathtrace import AreaLights, pathtrace_frame
+
+    cfg, scene = _build(
+        dict(width=240, height=64, rays_per_pixel=4, bounce_limit=4)
+    )
+    lights = AreaLights.create(
+        positions=[[0.0, 3.0, 0.0]], radii=[0.5], colors=[[1.0, 1.0, 1.0]],
+        intensities=[10.0],
+    )
+
+    @jax.jit
+    def step(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        key = jax.random.fold_in(
+            jax.random.PRNGKey(0), (t * 997.0).astype(jnp.int32)
+        )
+        fb = pathtrace_frame(scene.with_camera_frame(frame), lights, cfg, key)
+        return (fb.x.sum() + fb.y.sum() + fb.z.sum(), jnp.uint32(0))
+
+    ts = _staged_times(cfg, n_iters, base=0.3, step=0.41)
+    sec, _ = _throughput(step, scene, ts)
+    samples = cfg.n_primary_rays
+    return {"pathtrace_msamples_per_s": samples / sec / 1e6}
+
+
 def main() -> int:
     backend = jax.devices()[0]
     r = bench_rays()
     s = bench_streaming()
+    extra = {}
+    for fn in (bench_textured, bench_many_object, bench_physics,
+               bench_pathtrace):
+        try:
+            extra.update(fn())
+        except Exception as e:  # a tier failure must not kill the bench
+            extra[f"{fn.__name__}_error"] = str(e)[:120]
     target_mrays = 1000.0  # 1 Gray/s/chip north star (BASELINE.json)
     out = {
         "metric": "demo-scene ray throughput (480x280x10spp, 10-bounce, f32, pallas)",
@@ -208,6 +359,8 @@ def main() -> int:
         "fps_240x64_pipelined": round(s["fps_pipelined"], 1),
         "device": str(backend),
     }
+    for k, v in extra.items():
+        out[k] = round(v, 1) if isinstance(v, float) else v
     print(json.dumps(out))
     return 0
 

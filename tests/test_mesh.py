@@ -181,3 +181,41 @@ class TestEndToEnd:
             assert np.isfinite(arr).all()
             assert (arr >= 0).all() and (arr <= 1).all()
         assert int(rays) > 0
+
+
+class TestDensePath:
+    """The dense blocked tester (TPU production path) must agree with the
+    grid traversal and the brute oracle."""
+
+    def test_dense_matches_brute(self, rng):
+        from ttrt.mesh.dense import dense_nearest
+        from ttrt.mesh.grid import GridHit
+
+        scene = _random_mesh_scene(n=300, seed=9)
+        n_rays = 256
+        o = _vec(rng.uniform(-18, 18, (n_rays, 3)).astype(np.float32))
+        o = Vec3(o.x, jnp.abs(o.y) + 0.5, o.z)
+        d = _vec(rng.normal(size=(n_rays, 3)).astype(np.float32)).normalize()
+
+        gh_d = jax.jit(
+            lambda s, o, d: dense_nearest(s.spheres, s.triangles, o, d)
+        )(scene, o, d)
+        hit_b = jax.jit(
+            lambda s, o, d: trace_ray_mesh_brute(s, o, d, sample_sky=False)
+        )(scene, o, d)
+        # reconstruct brute's raw (t, obj): compare hit kinds and distances
+        from ttrt.mesh.scene import _finish_hit
+
+        hit_d = _finish_hit(scene, o, d, gh_d, False, False)
+        np.testing.assert_array_equal(
+            np.asarray(hit_d.kind), np.asarray(hit_b.kind)
+        )
+        for a, b in zip(hit_d.point, hit_b.point):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            )
+        np.testing.assert_allclose(
+            np.asarray(hit_d.material.reflectivity),
+            np.asarray(hit_b.material.reflectivity),
+            atol=1e-6,
+        )

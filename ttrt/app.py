@@ -86,6 +86,7 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
         cfg.dtype == jnp.float32
         and not cfg.skybox_bilinear
         and not cfg.specular
+        and cfg.bounce_limit <= 16
         and type(scene) is Scene
         and jax.default_backend() != "cpu"
     )

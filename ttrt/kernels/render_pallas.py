@@ -902,6 +902,10 @@ def render_frame_pallas(
             "pallas path implements the reference's diffuse-only shading; "
             "use the XLA path for the specular extension"
         )
+    if cfg.bounce_limit > 16:
+        # the bounce chain is fully unrolled; keep compile time/program
+        # size bounded (the XLA path serves deeper recursions)
+        raise ValueError("pallas path supports bounce_limit <= 16")
     packed = pack_scene(scene, jnp.float32)
     pixel_rate = False  # the accumulating layout is experimental/off
     color, count = _render_rays_pallas(

@@ -156,7 +156,25 @@ def traverse_grid(
     K = grid.capacity
     n_spheres = spheres.count if spheres is not None else 0
 
-    cells_flat = grid.cells.reshape(-1)
+    # PACKED attribute rows: every per-candidate fetch inside the march is
+    # a ROW gather (take axis=0) instead of per-component element gathers —
+    # XLA lowers element gathers to ~8 ns each, which made the traversal
+    # gather-bound; row gathers amortize like embedding lookups. The packing
+    # stacks are loop-invariant, so XLA hoists them out of the while_loop.
+    cells_rows = grid.cells.reshape(-1, K)  # (n_cells, K)
+    if n_spheres:
+        sph_rows = jnp.stack(
+            [spheres.center.x, spheres.center.y, spheres.center.z,
+             spheres.radius],
+            axis=-1,
+        )  # (N, 4)
+    if triangles is not None and triangles.count:
+        tri_rows = jnp.stack(
+            [triangles.v0.x, triangles.v0.y, triangles.v0.z,
+             triangles.e1.x, triangles.e1.y, triangles.e1.z,
+             triangles.e2.x, triangles.e2.y, triangles.e2.z],
+            axis=-1,
+        )  # (M, 9)
     inv_dx = _safe_inv(d.x)
     inv_dy = _safe_inv(d.y)
     inv_dz = _safe_inv(d.z)
@@ -233,18 +251,16 @@ def traverse_grid(
 
     def body(c: Carry) -> Carry:
         cell_id = (c.ix * gy + c.iy) * gz + c.iz
-        base = cell_id * K
+        slots = jnp.take(cells_rows, cell_id, axis=0)  # (rays, K) row gather
         best_t, best_obj = c.best_t, c.best_obj
 
         for slot in range(K):
-            obj = jnp.take(cells_flat, base + slot)
+            obj = slots[..., slot]
             valid = c.active & (obj >= 0)
             if n_spheres:
                 sidx = jnp.clip(obj, 0, n_spheres - 1)
-                cx = jnp.take(spheres.center.x, sidx)
-                cy = jnp.take(spheres.center.y, sidx)
-                cz = jnp.take(spheres.center.z, sidx)
-                r = jnp.take(spheres.radius, sidx)
+                srow = jnp.take(sph_rows, sidx, axis=0)  # (rays, 4)
+                cx, cy, cz, r = (srow[..., i] for i in range(4))
                 ocx, ocy, ocz = o.x - cx, o.y - cy, o.z - cz
                 a = d.dot(d)
                 b = 2.0 * (ocx * d.x + ocy * d.y + ocz * d.z)
@@ -258,21 +274,10 @@ def traverse_grid(
                 best_obj = jnp.where(take_s, obj, best_obj)
             if triangles is not None and triangles.count:
                 tidx = jnp.clip(obj - n_spheres, 0, triangles.count - 1)
-                v0 = Vec3(
-                    jnp.take(triangles.v0.x, tidx),
-                    jnp.take(triangles.v0.y, tidx),
-                    jnp.take(triangles.v0.z, tidx),
-                )
-                e1 = Vec3(
-                    jnp.take(triangles.e1.x, tidx),
-                    jnp.take(triangles.e1.y, tidx),
-                    jnp.take(triangles.e1.z, tidx),
-                )
-                e2 = Vec3(
-                    jnp.take(triangles.e2.x, tidx),
-                    jnp.take(triangles.e2.y, tidx),
-                    jnp.take(triangles.e2.z, tidx),
-                )
+                trow = jnp.take(tri_rows, tidx, axis=0)  # (rays, 9)
+                v0 = Vec3(trow[..., 0], trow[..., 1], trow[..., 2])
+                e1 = Vec3(trow[..., 3], trow[..., 4], trow[..., 5])
+                e2 = Vec3(trow[..., 6], trow[..., 7], trow[..., 8])
                 tt, t_hit = ray_triangle(o, d, v0, e1, e2)
                 take_t = valid & (obj >= n_spheres) & t_hit & (tt < best_t)
                 best_t = jnp.where(take_t, tt, best_t)

@@ -47,12 +47,30 @@ class Triangles(NamedTuple):
         n = np.cross(e1, e2)
         norm = np.linalg.norm(n, axis=-1, keepdims=True)
         n = n / np.where(norm == 0.0, 1.0, norm)
+
+        # slice in NumPy; each leaf is ONE host->device transfer (eager
+        # device ops are extremely slow on remote-compile backends)
+        def vec(arr):
+            return Vec3(*(jnp.asarray(arr[:, i], dtype) for i in range(3)))
+
+        m = v.shape[0]
+        cols = np.broadcast_to(
+            np.asarray(colors, np.float64), (m, 3)
+        )
         return Triangles(
-            v0=Vec3.from_array(jnp.asarray(v0, dtype)),
-            e1=Vec3.from_array(jnp.asarray(e1, dtype)),
-            e2=Vec3.from_array(jnp.asarray(e2, dtype)),
-            normal=Vec3.from_array(jnp.asarray(n, dtype)),
-            material=Materials.create(colors, reflectivity, specularity, dtype),
+            v0=vec(v0),
+            e1=vec(e1),
+            e2=vec(e2),
+            normal=vec(n),
+            material=Materials(
+                color=vec(cols),
+                reflectivity=jnp.asarray(
+                    np.broadcast_to(np.asarray(reflectivity), m), dtype
+                ),
+                specularity=jnp.asarray(
+                    np.broadcast_to(np.asarray(specularity), m), dtype
+                ),
+            ),
         )
 
     def aabbs(self) -> Tuple[np.ndarray, np.ndarray]:
