@@ -244,7 +244,7 @@ def bench_many_object(n_iters: int = 20) -> dict:
     ts = _staged_times(cfg, n_iters, base=0.5, step=0.21)
     sec, outs = _throughput(step, scene, ts)
     return {
-        "mrays_10k_grid": int(outs[-1][1]) / sec / 1e6,
+        "mrays_10k_dense": int(outs[-1][1]) / sec / 1e6,
         "grid_dims": list(scene.grid.dims),
     }
 
@@ -253,7 +253,7 @@ def bench_physics(n_iters: int = 200) -> dict:
     """Config-5 tier: GJK contact stepping rate for a 64-body world."""
     from ttrt.physics.demo import build_physics_demo
     from ttrt.physics.world import physics_step
-    from ttrt.scene import demo_scene, Spheres, Materials
+    from ttrt.scene import demo_scene, Spheres
     from ttrt.assets import make_colors_skybox, skybox_from_faces
     from ttrt.vec import Vec3
 

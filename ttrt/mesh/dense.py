@@ -23,7 +23,7 @@ picks the dense path on accelerator backends.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ from ttrt.scene import (
     PointLights,
     Skybox,
     Spheres,
-    random_spheres,
+
 )
 from ttrt.vec import Vec3
 
