@@ -645,8 +645,12 @@ def _render_kernel(
     # padding lanes (flat index beyond the ray batch) start dead: they do no
     # work in the bounce loop and never pollute the trace count.
     lane_valid = idx < n_rays
-    k = (idx % N).astype(jnp.float32)
-    pix = idx // N
+    # SAMPLE-MAJOR ray order: idx = k * (W*H) + pixel. The per-pixel AA
+    # average then reduces over axis 0 of a (N, H, W) view — contiguous
+    # adds — instead of a minor-dim reduction that costs a full relayout.
+    n_pixels = W * H
+    k = (idx // n_pixels).astype(jnp.float32)
+    pix = idx % n_pixels
     col = (pix % W).astype(jnp.float32)
     row = (pix // W).astype(jnp.float32)
 
@@ -930,6 +934,7 @@ def render_frame_pallas(
         ), count
 
     def avg(c):
-        return c.reshape(H, W, N).sum(axis=-1) * (1.0 / N)
+        # sample-major layout: contiguous axis-0 reduction (no relayout)
+        return c.reshape(N, H, W).sum(axis=0) * (1.0 / N)
 
     return Vec3(avg(color.x), avg(color.y), avg(color.z)), count
