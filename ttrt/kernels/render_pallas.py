@@ -269,7 +269,18 @@ def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
     return _TraceOut(hit_any, px, py, pz, nx, ny, nz, cr, cg, cb, refl)
 
 
-def _shadow_any_hit(px, py, pz, ldx, ldy, ldz, a, tmax, sph_vals,
+def _shadow_oc_terms(px, py, pz, sph_vals):
+    """Per-sphere (oc vector, c term) for a shadow ORIGIN — shared by every
+    shadow ray cast from the same hit point (both lights), saving the
+    origin-dependent half of the quadratic per extra light."""
+    return [
+        (px - cx, py - cy, pz - cz,
+         (px - cx) ** 2 + (py - cy) ** 2 + (pz - cz) ** 2 - r * r)
+        for (cx, cy, cz, r, _scr, _scg, _scb, _srefl) in sph_vals
+    ]
+
+
+def _shadow_any_hit(px, py, pz, ldx, ldy, ldz, a, tmax, oc_terms,
                     plane_vals):
     """Occlusion-only trace: does any object block the ray before ``tmax``
     (pass None for the directional-light no-cutoff case)?
@@ -282,10 +293,8 @@ def _shadow_any_hit(px, py, pz, ldx, ldy, ldz, a, tmax, sph_vals,
     same answer with no sqrt, no division, no winner tracking.
     ``a`` is the squared length of the shadow direction (1 for normalized)."""
     blocked = jnp.zeros(px.shape, jnp.bool_)
-    for (cx, cy, cz, r, _scr, _scg, _scb, _srefl) in sph_vals:
-        ocx, ocy, ocz = px - cx, py - cy, pz - cz
+    for (ocx, ocy, ocz, c) in oc_terms:
         b = 2.0 * (ocx * ldx + ocy * ldy + ocz * ldz)
-        c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
         disc = b * b - 4.0 * a * c
         hit = (disc >= 0.0) & (b < 0.0) & (c > 0.0)
         if tmax is not None:
@@ -317,12 +326,13 @@ def _apply_lighting(
     outg = jnp.zeros_like(px)
     outb = jnp.zeros_like(px)
     one = jnp.ones_like(px)
+    oc_terms = _shadow_oc_terms(px, py, pz, sph_vals)
 
     for (lx, ly, lz, lcr, lcg, lcb) in dl_vals:
         # light direction is a unit scalar vector -> a == 1
         blocked = _shadow_any_hit(
             px, py, pz, lx * one, ly * one, lz * one, 1.0, None,
-            sph_vals, plane_vals,
+            oc_terms, plane_vals,
         )
         ndotl = jnp.minimum(nx * lx + ny * ly + nz * lz, 1.0)  # fmin only
         outr = outr + jnp.where(blocked, 0.0, lcr * ndotl * mcr)
@@ -338,7 +348,7 @@ def _apply_lighting(
         # (blocker-beyond-the-light does not occlude, c:942)
         tmax = jnp.sqrt(light_d2)
         blocked = _shadow_any_hit(
-            px, py, pz, ldx, ldy, ldz, 1.0, tmax, sph_vals, plane_vals,
+            px, py, pz, ldx, ldy, ldz, 1.0, tmax, oc_terms, plane_vals,
         )
         ndotl = jnp.minimum(nx * ldx + ny * ldy + nz * ldz, 1.0)
         scale = intensity * ndotl
