@@ -219,3 +219,37 @@ class TestDensePath:
             np.asarray(hit_b.material.reflectivity),
             atol=1e-6,
         )
+
+    def test_dense_single_sphere_and_inside(self):
+        """Edge cases: one-object scene (padding dominates the chunk) and a
+        ray starting INSIDE a sphere (c<0 -> no hit, like the reference's
+        nearer-root-only rule)."""
+        from ttrt.mesh.dense import dense_nearest
+        from ttrt.scene import Spheres, Materials
+
+        spheres = Spheres(
+            center=_vec([[0.0, 0.0, 0.0]]),
+            radius=jnp.asarray([1.0], jnp.float32),
+            material=Materials.create(
+                np.array([[1.0, 0.0, 0.0]]), 0.5
+            ),
+        )
+        o = _vec([[0.0, 0.0, 5.0], [0.0, 0.0, 0.0], [3.0, 0.0, 0.0]])
+        d = _vec([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0], [0.0, 1.0, 0.0]])
+        gh = dense_nearest(spheres, None, o, d)
+        t = np.asarray(gh.t)
+        obj = np.asarray(gh.obj)
+        np.testing.assert_allclose(t[0], 4.0, atol=1e-5)  # outside hit
+        assert obj[0] == 0
+        assert obj[1] == -1  # inside: nearer root behind -> miss
+        assert obj[2] == -1  # perpendicular miss
+
+    def test_dense_triangles_only(self):
+        from ttrt.mesh.dense import dense_nearest
+
+        tris = floor_mesh(y=0.0, half_extent=2.0, cells=2)
+        o = _vec([[0.5, 3.0, 0.5]])
+        d = _vec([[0.0, -1.0, 0.0]])
+        gh = dense_nearest(None, tris, o, d)
+        np.testing.assert_allclose(float(gh.t[0]), 3.0, atol=1e-5)
+        assert int(gh.obj[0]) >= 0
