@@ -110,3 +110,41 @@ class TestShardedMeshScene:
             atol=1e-5,
         )
         assert int(rays_s) == int(rays)
+
+
+class TestShardedPallas:
+    """The Pallas kernel path under shard_map (interpret mode on the CPU
+    test mesh): per-device row bands must reassemble into the full frame."""
+
+    def test_pallas_bands_match_single_device(self):
+        import numpy as np
+        from ttrt.assets import load_skybox
+        from ttrt.config import RenderConfig
+        from ttrt.kernels.render_pallas import render_frame_pallas
+        from ttrt.parallel.sharding import (
+            make_mesh,
+            render_frame_sharded_pallas,
+        )
+        from ttrt.scene import demo_scene
+
+        cfg = RenderConfig(width=32, height=16, rays_per_pixel=2,
+                           bounce_limit=4, dtype=jnp.float32)
+        scene = demo_scene(load_skybox("colors"), 32, 16, jnp.float32)
+        mesh = make_mesh(8, 1)
+
+        fb_s, rays_s = jax.jit(
+            lambda s: render_frame_sharded_pallas(
+                s, cfg, mesh, interpret=True
+            )
+        )(scene)
+        fb, rays = render_frame_pallas(scene, cfg, interpret=True)
+
+        ref = np.asarray(fb.to_array())
+        shd = np.asarray(fb_s.to_array())
+        assert shd.shape == ref.shape
+        diff = np.abs(ref - shd).max(axis=-1)
+        # same math, different program constants per band: allow rare
+        # boundary flips (standard kernel-vs-kernel contract)
+        assert float((diff > 1e-3).mean()) <= 0.01
+        assert float(np.median(diff)) == 0.0
+        assert abs(int(rays_s) - int(rays)) <= max(0.01 * int(rays), 32)

@@ -66,17 +66,20 @@ class PackedScene(NamedTuple):
     """Flat scalar views of the scene for SMEM prefetch. All f32 (or the
     config dtype); static counts live in the kernel closure."""
 
-    cam: jnp.ndarray  # (15,) bx3 by3 bz3 origin3 sz sw sh
+    cam: jnp.ndarray  # (16,) bx3 by3 bz3 origin3 sz sw sh row_offset
     spheres: jnp.ndarray  # (n_spheres*8,) cx cy cz r cr cg cb refl
     plane: jnp.ndarray  # (14,) p3 n3 even(rgb,refl) odd(rgb,refl)
     dlights: jnp.ndarray  # (n_dl*6,) normalized -dir (guarded) 3, color 3
     plights: jnp.ndarray  # (n_pl*7,) pos3 color3 intensity
 
 
-def pack_scene(scene: Scene, dtype) -> PackedScene:
+def pack_scene(scene: Scene, dtype, row_offset=0.0) -> PackedScene:
     """Flatten the scene pytree into the SMEM layout. The directional-light
     direction is pre-negated + guard-normalized here (scalar math, identical
-    bits to the in-loop normalize at TerminalRayTracer.c:905)."""
+    bits to the in-loop normalize at TerminalRayTracer.c:905).
+    ``row_offset`` (may be traced, e.g. from lax.axis_index under
+    shard_map) shifts the kernel's ray-generation rows — multi-chip row
+    sharding renders one horizontal band per device."""
     cam = scene.camera
     f = cam.frame
     cam_flat = jnp.concatenate(
@@ -88,6 +91,7 @@ def pack_scene(scene: Scene, dtype) -> PackedScene:
                     -cam.screen_distance.astype(dtype),
                     cam.screen_width.astype(dtype),
                     cam.screen_height.astype(dtype),
+                    jnp.asarray(row_offset, dtype),
                 ]
             ),
         ]
@@ -640,9 +644,12 @@ def _render_kernel(
     sky_dim: int,
     tile_r: int,
     procedural: str = None,
+    n_rows: int = None,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
-    n_rays = W * H * N
+    if n_rows is None:
+        n_rows = H
+    n_rays = W * n_rows * N
 
     # --- ray generation from the lane index (TerminalRayTracer.c:978-1011)
     step = pl.program_id(0)
@@ -655,14 +662,16 @@ def _render_kernel(
     # padding lanes (flat index beyond the ray batch) start dead: they do no
     # work in the bounce loop and never pollute the trace count.
     lane_valid = idx < n_rays
-    # SAMPLE-MAJOR ray order: idx = k * (W*H) + pixel. The per-pixel AA
-    # average then reduces over axis 0 of a (N, H, W) view — contiguous
-    # adds — instead of a minor-dim reduction that costs a full relayout.
-    n_pixels = W * H
+    # SAMPLE-MAJOR ray order: idx = k * (W*n_rows) + pixel. The per-pixel
+    # AA average then reduces over axis 0 of a (N, rows, W) view —
+    # contiguous adds — instead of a minor-dim reduction that costs a full
+    # relayout. row_start/n_rows select a horizontal band (multi-chip row
+    # sharding renders one band per device).
+    n_pixels = W * n_rows
     k = (idx // n_pixels).astype(jnp.float32)
     pix = idx % n_pixels
     col = (pix % W).astype(jnp.float32)
-    row = (pix // W).astype(jnp.float32)
+    row = (pix // W).astype(jnp.float32) + cam_ref[15]
 
     bx0, bx1, bx2 = cam_ref[0], cam_ref[1], cam_ref[2]
     by0, by1, by2 = cam_ref[3], cam_ref[4], cam_ref[5]
@@ -754,7 +763,7 @@ def _render_kernel(
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_spheres", "n_dl", "n_pl", "sky_dim",
                               "interpret", "tile_r", "procedural",
-                              "accumulate")
+                              "accumulate", "n_rows")
 )
 def _render_rays_pallas(
     packed: PackedScene,
@@ -768,8 +777,11 @@ def _render_rays_pallas(
     tile_r: int = TILE_R,
     procedural: str = None,
     accumulate: bool = False,
+    n_rows: int = None,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    if n_rows is None:
+        n_rows = H
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def count_to_rays(stats):
@@ -823,7 +835,7 @@ def _render_rays_pallas(
         )
         return color, count_to_rays(pflat(counts))
 
-    n_rays = W * H * N
+    n_rays = W * n_rows * N
     n_tiles = pl.cdiv(n_rays, tile_r * LANES)
 
     kernel = functools.partial(
@@ -835,6 +847,7 @@ def _render_rays_pallas(
         sky_dim=sky_dim,
         tile_r=tile_r,
         procedural=procedural,
+        n_rows=n_rows,
     )
 
     tile_out = lambda dt: (
@@ -946,5 +959,38 @@ def render_frame_pallas(
     def avg(c):
         # sample-major layout: contiguous axis-0 reduction (no relayout)
         return c.reshape(N, H, W).sum(axis=0) * (1.0 / N)
+
+    return Vec3(avg(color.x), avg(color.y), avg(color.z)), count
+
+
+def render_band_pallas(
+    scene: Scene, cfg: RenderConfig, row_offset, n_rows: int, *,
+    interpret: bool = False, tile_r: int = TILE_R,
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Render a horizontal band of ``n_rows`` image rows starting at
+    ``row_offset`` (which may be TRACED — e.g. lax.axis_index under
+    shard_map, where each device renders its own band). Returns the
+    (n_rows, W) framebuffer Vec3 + trace count."""
+    if cfg.dtype != jnp.float32:
+        raise ValueError("pallas path is float32-only")
+    packed = pack_scene(scene, jnp.float32, row_offset=row_offset)
+    color, count = _render_rays_pallas(
+        packed,
+        scene.skybox.packed.reshape(-1),
+        cfg,
+        scene.spheres.count,
+        scene.directional_lights.count,
+        scene.point_lights.count,
+        scene.skybox.dim,
+        interpret,
+        tile_r,
+        scene.skybox.procedural,
+        False,
+        n_rows,
+    )
+    W, N = cfg.width, cfg.rays_per_pixel
+
+    def avg(c):
+        return c.reshape(N, n_rows, W).sum(axis=0) * (1.0 / N)
 
     return Vec3(avg(color.x), avg(color.y), avg(color.z)), count

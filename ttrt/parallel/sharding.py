@@ -148,3 +148,44 @@ def make_sharded_frame_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
         return enc(fb), rays
 
     return frame
+
+
+def render_frame_sharded_pallas(
+    scene: Scene, cfg: RenderConfig, mesh: Mesh, *, interpret: bool = False
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Multi-chip rendering through the PALLAS kernel: each device runs the
+    kernel on its own horizontal band (the band's row offset comes from
+    lax.axis_index, threaded into the kernel's in-SMEM camera block), so
+    the hand-tiled production path scales with the same zero-communication
+    row sharding as the XLA path. Requires a rows-only mesh.
+
+    ``interpret=True`` runs the kernel in interpreter mode — how the CPU
+    test mesh validates this path without TPU hardware."""
+    from ttrt.kernels.render_pallas import render_band_pallas
+
+    n_rows_axis = mesh.shape["rows"]
+    if mesh.shape.get("samples", 1) != 1:
+        raise ValueError("pallas sharding uses a rows-only mesh")
+    if cfg.height % n_rows_axis:
+        raise ValueError(
+            f"height {cfg.height} not divisible by mesh rows {n_rows_axis}"
+        )
+    rows_per = cfg.height // n_rows_axis
+
+    @jax.shard_map(
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=(P("rows", None), P()),
+        check_vma=False,
+    )
+    def body(scene_rep):
+        i = jax.lax.axis_index("rows")
+        fb, count = render_band_pallas(
+            scene_rep, cfg,
+            (i * rows_per).astype(cfg.dtype), rows_per,
+            interpret=interpret,
+        )
+        total = jax.lax.psum(count, "rows")
+        return fb, total
+
+    return body(scene)
