@@ -189,7 +189,6 @@ class TestDensePath:
 
     def test_dense_matches_brute(self, rng):
         from ttrt.mesh.dense import dense_nearest
-        from ttrt.mesh.grid import GridHit
 
         scene = _random_mesh_scene(n=300, seed=9)
         n_rays = 256

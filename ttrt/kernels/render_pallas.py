@@ -52,7 +52,7 @@ from ttrt.vec import Vec3
 # compile time and register pressure for no speedup).
 TILE_R = 16
 LANES = 128
-TILE = TILE_R * LANES
+
 
 _F32_MAX = float(np.finfo(np.float32).max)
 

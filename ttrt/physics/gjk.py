@@ -93,7 +93,6 @@ def _closest_simplex(pts, size):
     t = -a.dot(ab) / jnp.maximum(ab.dot(ab), _EPS)
     t = jnp.clip(t, 0.0, 1.0)
     c2 = Vec3(a.x + t * ab.x, a.y + t * ab.y, a.z + t * ab.z)
-    keep_b2 = t > 0.0  # if closest is interior or at b, keep both/last
     size2 = jnp.where(t > 0.0, jnp.where(t < 1.0, 2, 1), 1)
     # compact: if t==1 the support is just b; if t==0 just a
     first2 = b.where(t >= 1.0, a)
