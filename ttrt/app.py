@@ -333,15 +333,17 @@ def run_physics(cfg: RenderConfig, skybox_name: str = "colors",
 
 def render_still(cfg: RenderConfig, skybox_name: str, t: float,
                  out_path: str, n_bands: int | None = None,
-                 pathtrace: bool = False, seed: int = 0) -> None:
+                 pathtrace: bool = False, seed: int = 0,
+                 scene: Scene | None = None) -> None:
     """High-res still tier (BASELINE config 2): render one frame at time t
     and write a PPM. Large frames render in horizontal bands
     (render_frame_tiled) so ray-state memory stays bounded."""
     from ttrt.render.integrator import render_frame_tiled
     from ttrt.term.encoder import encode_rgb_frame
 
-    skybox = assets.load_skybox(skybox_name, cfg.dtype)
-    scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
+    if scene is None:
+        skybox = assets.load_skybox(skybox_name, cfg.dtype)
+        scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
 
     render = None if pathtrace else _pick_renderer(scene, cfg)
     use_pallas = render is not None and render is not render_frame
@@ -378,7 +380,12 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         return encode_rgb_frame(fb)
 
     rgb = np.asarray(still(scene, jnp.asarray(t, cfg.dtype)))
-    assets.write_ppm(out_path, rgb)
+    if out_path.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
+        from PIL import Image
+
+        Image.fromarray(rgb).save(out_path)
+    else:
+        assets.write_ppm(out_path, rgb)
     log(f"wrote {out_path} ({cfg.width}x{cfg.height}, bands={n_bands})")
 
 
@@ -446,6 +453,13 @@ def main(argv=None) -> int:
     )
     p.add_argument("--n-spheres", type=int, default=10_000,
                    help="sphere count for --scene many")
+    p.add_argument("--scene-file", metavar="JSON", default=None,
+                   help="declarative JSON scene description (spheres, "
+                        "ground, lights, skybox); see ttrt/scenefile.py")
+    p.add_argument("--show-skybox", metavar="NAME", default=None,
+                   help="preview a cubemap's six faces in the terminal "
+                        "(the reference's print_ppm debug affordance) and "
+                        "exit")
     p.add_argument("--checkpoint", default=None,
                    help="physics state checkpoint path (save on exit, "
                         "resume on start)")
@@ -472,17 +486,40 @@ def main(argv=None) -> int:
         skybox_bilinear=args.bilinear, specular=args.specular,
     )
     try:
+        if args.show_skybox:
+            import numpy as _np
+
+            from ttrt.term.display import print_ppm
+
+            sky = assets.load_skybox(args.show_skybox, cfg.dtype)
+            faces = _np.asarray(sky.to_uint8())
+            # 2x3 face contact sheet downscaled to the requested width
+            sheet = _np.concatenate(
+                [_np.concatenate(list(faces[r * 3:(r + 1) * 3]), axis=1)
+                 for r in range(2)],
+                axis=0,
+            )
+            step = max(1, sheet.shape[1] // max(args.width, 8))
+            print_ppm(sheet[::step * 2, ::step])
+            return 0
+        file_scene = None
+        if args.scene_file:
+            from ttrt.scenefile import load_scene_file
+
+            file_scene = load_scene_file(
+                args.scene_file, cfg.width, cfg.height, cfg.dtype
+            )
         if args.still:
             render_still(cfg, args.skybox, args.time, args.still,
                          n_bands=args.bands, pathtrace=args.pathtrace,
-                         seed=args.seed)
+                         seed=args.seed, scene=file_scene)
             return 0
         if args.scene == "physics":
             run_physics(cfg, args.skybox, args.frames,
                         interactive=not args.no_input, encode=args.encode,
                         checkpoint=args.checkpoint)
             return 0
-        scene = None
+        scene = file_scene
         if args.scene == "many":
             from ttrt.mesh import many_sphere_scene
 
