@@ -189,3 +189,48 @@ class TestPhysicsStep:
         np.testing.assert_array_equal(
             np.asarray(a.pos.to_array()), np.asarray(b.pos.to_array())
         )
+
+
+class TestObstacles:
+    """Static convex obstacles via the general GJK query in the stepping
+    loop (box hulls)."""
+
+    def test_sphere_rests_on_box(self):
+        from ttrt.physics.world import box_obstacle
+
+        params = default_params(
+            [0.5], restitution=0.3,
+            obstacles=box_obstacle([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+        )
+        state = PhysicsState(
+            pos=_v([[0.0, 3.0, 0.0]]),
+            vel=_v([[0.0, 0.0, 0.0]]),
+            t=jnp.asarray(0.0, jnp.float32),
+        )
+        step = jax.jit(lambda s: physics_step(s, params, 1.0 / 120,
+                                              substeps=2))
+        for _ in range(400):
+            state = step(state)
+        # box top face at y=1, sphere radius 0.5 -> rest near y=1.5
+        y = float(state.pos.y[0])
+        assert 1.3 < y < 1.7, y
+        assert abs(float(state.vel.y[0])) < 0.5
+
+    def test_sphere_deflects_off_box_side(self):
+        from ttrt.physics.world import box_obstacle
+
+        params = default_params(
+            [0.3], restitution=0.9,
+            obstacles=box_obstacle([2.0, 0.0, 0.0], [0.5, 5.0, 5.0]),
+        )
+        params = params._replace(gravity=jnp.zeros(3, jnp.float32))
+        state = PhysicsState(
+            pos=_v([[0.0, 0.0, 0.0]]),
+            vel=_v([[3.0, 0.0, 0.0]]),
+            t=jnp.asarray(0.0, jnp.float32),
+        )
+        step = jax.jit(lambda s: physics_step(s, params, 0.01))
+        for _ in range(120):
+            state = step(state)
+        assert float(state.vel.x[0]) < 0.0  # bounced back
+        assert float(state.pos.x[0]) < 1.2  # never tunneled through

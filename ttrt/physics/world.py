@@ -15,7 +15,7 @@ Everything is a fixed-shape whole-batch computation:
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +34,10 @@ class PhysicsParams(NamedTuple):
     restitution: jnp.ndarray  # scalar
     ground_y: jnp.ndarray  # scalar: floor plane height
     bounds: jnp.ndarray  # scalar: |x|,|z| soft wall (keeps the demo on screen)
+    # optional STATIC convex obstacles as vertex hulls (B, V, 3): spheres
+    # collide with them through the general GJK query (sphere margin vs
+    # polytope support) — boxes, ramps, any convex hull
+    obstacles: Optional[jnp.ndarray] = None
 
 
 class PhysicsState(NamedTuple):
@@ -45,7 +49,8 @@ class PhysicsState(NamedTuple):
 
 
 def default_params(radii, dtype=jnp.float32, ground_y=-2.0,
-                   restitution=0.85, bounds=6.0) -> PhysicsParams:
+                   restitution=0.85, bounds=6.0,
+                   obstacles=None) -> PhysicsParams:
     radii = jnp.asarray(radii, dtype)
     # mass ~ volume
     inv_mass = 1.0 / (radii ** 3 / jnp.max(radii) ** 3)
@@ -56,7 +61,21 @@ def default_params(radii, dtype=jnp.float32, ground_y=-2.0,
         restitution=jnp.asarray(restitution, dtype),
         ground_y=jnp.asarray(ground_y, dtype),
         bounds=jnp.asarray(bounds, dtype),
+        obstacles=(
+            None if obstacles is None else jnp.asarray(obstacles, dtype)
+        ),
     )
+
+
+def box_obstacle(center, half_extents, dtype=jnp.float32) -> np.ndarray:
+    """(1, 8, 3) vertex hull for an axis-aligned box obstacle."""
+    c = np.asarray(center, np.float64)
+    h = np.asarray(half_extents, np.float64)
+    corners = np.array(
+        [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float64,
+    )
+    return (c + corners * h)[None].astype(np.float32)
 
 
 def _pair_indices(n: int) -> Tuple[np.ndarray, np.ndarray]:
@@ -149,6 +168,49 @@ def physics_step(
                 scatter(pos.x, ii, cax, jj, cbx),
                 scatter(pos.y, ii, cay, jj, cby),
                 scatter(pos.z, ii, caz, jj, cbz),
+            )
+
+        if params.obstacles is not None:
+            # --- sphere vs static convex obstacles through the GENERAL
+            # GJK query (polytope support = argmax-dot over the hull)
+            from ttrt.physics.gjk import polytope_support
+
+            B = params.obstacles.shape[0]
+            rep = lambda c: jnp.repeat(c, B)
+            pa = Vec3(rep(pos.x), rep(pos.y), rep(pos.z))  # (n*B,)
+            ra = jnp.repeat(params.radius, B)
+            verts = jnp.tile(params.obstacles, (n, 1, 1))  # (n*B, V, 3)
+            centers = verts.mean(axis=1)
+            guess = Vec3(
+                pa.x - centers[:, 0], pa.y - centers[:, 1],
+                pa.z - centers[:, 2],
+            )
+            dist, normal = gjk_distance(
+                sphere_support(pa, ra), polytope_support(verts), guess
+            )
+            pen = jnp.maximum(-dist, 0.0)
+            touching = dist < 0.0
+            va_ = Vec3(rep(vel.x), rep(vel.y), rep(vel.z))
+            vn = va_.dot(normal)
+            act = touching & (vn < 0.0)
+            ima = jnp.repeat(params.inv_mass, B)
+            movable = ima > 0
+            dv = jnp.where(act & movable, -(1.0 + params.restitution) * vn,
+                           0.0)
+            corr = jnp.where(touching & movable, pen, 0.0)
+
+            def acc(v):  # sum contributions over this sphere's B obstacles
+                return v.reshape(n, B).sum(axis=1)
+
+            vel = Vec3(
+                vel.x + acc(dv * normal.x),
+                vel.y + acc(dv * normal.y),
+                vel.z + acc(dv * normal.z),
+            )
+            pos = Vec3(
+                pos.x + acc(corr * normal.x),
+                pos.y + acc(corr * normal.y),
+                pos.z + acc(corr * normal.z),
             )
 
         # --- ground plane (y = ground_y): clamp + restitution bounce
