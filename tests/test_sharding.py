@@ -116,7 +116,8 @@ class TestShardedPallas:
     """The Pallas kernel path under shard_map (interpret mode on the CPU
     test mesh): per-device row bands must reassemble into the full frame."""
 
-    def test_pallas_bands_match_single_device(self):
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4)])
+    def test_pallas_mesh_matches_single_device(self, mesh_shape):
         import numpy as np
         from ttrt.assets import load_skybox
         from ttrt.config import RenderConfig
@@ -127,10 +128,10 @@ class TestShardedPallas:
         )
         from ttrt.scene import demo_scene
 
-        cfg = RenderConfig(width=32, height=16, rays_per_pixel=2,
+        cfg = RenderConfig(width=32, height=16, rays_per_pixel=4,
                            bounce_limit=4, dtype=jnp.float32)
         scene = demo_scene(load_skybox("colors"), 32, 16, jnp.float32)
-        mesh = make_mesh(8, 1)
+        mesh = make_mesh(*mesh_shape)
 
         fb_s, rays_s = jax.jit(
             lambda s: render_frame_sharded_pallas(
@@ -143,8 +144,61 @@ class TestShardedPallas:
         shd = np.asarray(fb_s.to_array())
         assert shd.shape == ref.shape
         diff = np.abs(ref - shd).max(axis=-1)
-        # same math, different program constants per band: allow rare
-        # boundary flips (standard kernel-vs-kernel contract)
+        # same math, different program constants per band/slice + psum
+        # reassociation of the AA sum: allow rare boundary flips
+        # (standard kernel-vs-kernel contract)
         assert float((diff > 1e-3).mean()) <= 0.01
         assert float(np.median(diff)) == 0.0
         assert abs(int(rays_s) - int(rays)) <= max(0.01 * int(rays), 32)
+
+
+class TestShardedPathtrace:
+    """Config-5 stochastic tier: sample-sharded over every mesh device."""
+
+    def test_pathtrace_sharded_runs_and_is_sane(self):
+        import numpy as np
+        from ttrt.parallel.sharding import (
+            make_mesh,
+            pathtrace_frame_sharded,
+        )
+        from ttrt.render.pathtrace import AreaLights
+
+        f32 = jnp.float32
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=8,
+                           bounce_limit=2, dtype=f32)
+        sky = skybox_from_faces(make_colors_skybox(8), f32)
+        scene = demo_scene(sky, cfg.width, cfg.height, f32)
+        scene = scene.with_camera_frame(orbit_camera_frame(1.0, f32))
+        lights = AreaLights.create(
+            positions=[[0.0, 3.0, 0.0]], radii=[0.5],
+            colors=[[1.0, 1.0, 1.0]], intensities=[10.0], dtype=f32,
+        )
+        mesh = make_mesh(4, 2)
+        fb = pathtrace_frame_sharded(
+            scene, lights, cfg, jax.random.PRNGKey(0), mesh
+        )
+        a = np.asarray(fb.to_array())
+        assert a.shape == (cfg.height, cfg.width, 3)
+        assert np.isfinite(a).all()
+        assert a.min() >= 0.0 and a.max() <= 1.0
+        assert a.std() > 0.01  # an actual image, not a constant
+
+    def test_pathtrace_indivisible_spp_rejected(self):
+        from ttrt.parallel.sharding import (
+            make_mesh,
+            pathtrace_frame_sharded,
+        )
+        from ttrt.render.pathtrace import AreaLights
+
+        f32 = jnp.float32
+        cfg = RenderConfig(width=8, height=8, rays_per_pixel=3, dtype=f32)
+        sky = skybox_from_faces(make_colors_skybox(8), f32)
+        scene = demo_scene(sky, 8, 8, f32)
+        lights = AreaLights.create(
+            positions=[[0.0, 3.0, 0.0]], radii=[0.5],
+            colors=[[1.0, 1.0, 1.0]], intensities=[10.0], dtype=f32,
+        )
+        with pytest.raises(ValueError, match="not divisible"):
+            pathtrace_frame_sharded(
+                scene, lights, cfg, jax.random.PRNGKey(0), make_mesh(8, 1)
+            )

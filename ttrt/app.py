@@ -334,7 +334,8 @@ def run_physics(cfg: RenderConfig, skybox_name: str = "colors",
 def render_still(cfg: RenderConfig, skybox_name: str, t: float,
                  out_path: str, n_bands: int | None = None,
                  pathtrace: bool = False, seed: int = 0,
-                 scene: Scene | None = None) -> None:
+                 scene: Scene | None = None,
+                 renderer: str = "auto") -> None:
     """High-res still tier (BASELINE config 2): render one frame at time t
     and write a PPM. Large frames render in horizontal bands
     (render_frame_tiled) so ray-state memory stays bounded."""
@@ -345,7 +346,7 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         skybox = assets.load_skybox(skybox_name, cfg.dtype)
         scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
 
-    render = None if pathtrace else _pick_renderer(scene, cfg)
+    render = None if pathtrace else _pick_renderer(scene, cfg, renderer)
     use_pallas = render is not None and render is not render_frame
     if n_bands is None:
         # auto: band whenever the frame exceeds ~2M rays. The Pallas path
@@ -512,7 +513,8 @@ def main(argv=None) -> int:
         if args.still:
             render_still(cfg, args.skybox, args.time, args.still,
                          n_bands=args.bands, pathtrace=args.pathtrace,
-                         seed=args.seed, scene=file_scene)
+                         seed=args.seed, scene=file_scene,
+                         renderer=args.renderer)
             return 0
         if args.scene == "physics":
             run_physics(cfg, args.skybox, args.frames,

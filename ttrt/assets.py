@@ -12,8 +12,9 @@ with the reference (``colors``: solid per-axis faces; ``uv_checker``),
 plus a procedural starfield standing in for the reference's default
 ``milky_way`` skybox (its blobs are stripped from the reference repo).
 
-A native C++ fast path for bulk PPM decode is used when built
-(ttrt/_native); the NumPy path is the always-available fallback.
+Decoding is vectorized NumPy (one frombuffer per face); the native C
+runtime (csrc/ttrt_native.c) handles the OUTPUT side only (ANSI encode,
+pacing, write), not PPM input.
 """
 
 from __future__ import annotations

@@ -66,20 +66,22 @@ class PackedScene(NamedTuple):
     """Flat scalar views of the scene for SMEM prefetch. All f32 (or the
     config dtype); static counts live in the kernel closure."""
 
-    cam: jnp.ndarray  # (16,) bx3 by3 bz3 origin3 sz sw sh row_offset
+    cam: jnp.ndarray  # (17,) bx3 by3 bz3 origin3 sz sw sh row_off samp_off
     spheres: jnp.ndarray  # (n_spheres*8,) cx cy cz r cr cg cb refl
     plane: jnp.ndarray  # (14,) p3 n3 even(rgb,refl) odd(rgb,refl)
     dlights: jnp.ndarray  # (n_dl*6,) normalized -dir (guarded) 3, color 3
     plights: jnp.ndarray  # (n_pl*7,) pos3 color3 intensity
 
 
-def pack_scene(scene: Scene, dtype, row_offset=0.0) -> PackedScene:
+def pack_scene(scene: Scene, dtype, row_offset=0.0,
+               sample_offset=0.0) -> PackedScene:
     """Flatten the scene pytree into the SMEM layout. The directional-light
     direction is pre-negated + guard-normalized here (scalar math, identical
     bits to the in-loop normalize at TerminalRayTracer.c:905).
-    ``row_offset`` (may be traced, e.g. from lax.axis_index under
-    shard_map) shifts the kernel's ray-generation rows — multi-chip row
-    sharding renders one horizontal band per device."""
+    ``row_offset``/``sample_offset`` (may be traced, e.g. from
+    lax.axis_index under shard_map) shift the kernel's ray-generation rows
+    and AA-sample indices — multi-chip sharding renders one (row band x
+    sample slice) per device."""
     cam = scene.camera
     f = cam.frame
     cam_flat = jnp.concatenate(
@@ -92,6 +94,7 @@ def pack_scene(scene: Scene, dtype, row_offset=0.0) -> PackedScene:
                     cam.screen_width.astype(dtype),
                     cam.screen_height.astype(dtype),
                     jnp.asarray(row_offset, dtype),
+                    jnp.asarray(sample_offset, dtype),
                 ]
             ),
         ]
@@ -645,11 +648,14 @@ def _render_kernel(
     tile_r: int,
     procedural: str = None,
     n_rows: int = None,
+    n_samples: int = None,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
     if n_rows is None:
         n_rows = H
-    n_rays = W * n_rows * N
+    if n_samples is None:
+        n_samples = N  # local AA-sample slice (multi-chip sample sharding)
+    n_rays = W * n_rows * n_samples
 
     # --- ray generation from the lane index (TerminalRayTracer.c:978-1011)
     step = pl.program_id(0)
@@ -665,10 +671,11 @@ def _render_kernel(
     # SAMPLE-MAJOR ray order: idx = k * (W*n_rows) + pixel. The per-pixel
     # AA average then reduces over axis 0 of a (N, rows, W) view —
     # contiguous adds — instead of a minor-dim reduction that costs a full
-    # relayout. row_start/n_rows select a horizontal band (multi-chip row
-    # sharding renders one band per device).
+    # relayout. row_start/n_rows select a horizontal band and
+    # cam_ref[16]/n_samples an AA-sample slice (multi-chip sharding
+    # renders one band x slice per device).
     n_pixels = W * n_rows
-    k = (idx // n_pixels).astype(jnp.float32)
+    k = (idx // n_pixels).astype(jnp.float32) + cam_ref[16]
     pix = idx % n_pixels
     col = (pix % W).astype(jnp.float32)
     row = (pix // W).astype(jnp.float32) + cam_ref[15]
@@ -731,7 +738,7 @@ def _render_kernel(
     #     death iteration, so the final d IS the sky direction for
     #     sky-terminated lanes (reflectivity-cutoff lanes have sky_w == 0,
     #     so their garbage-but-in-range texel index is weighted by zero);
-    #   - per-lane trace counters pack bounces | hits<<8 (summed host-side
+    #   - per-lane trace counters pack bounces | hits<<16 (summed host-side
     #     into the honest Mrays/s counter).
     (pr, pg, pb, total, sky_w, count, dx, dy, dz) = _bounce_chain(
         ox, oy, oz, dx, dy, dz, lane_valid,
@@ -763,7 +770,7 @@ def _render_kernel(
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_spheres", "n_dl", "n_pl", "sky_dim",
                               "interpret", "tile_r", "procedural",
-                              "accumulate", "n_rows")
+                              "accumulate", "n_rows", "n_samples")
 )
 def _render_rays_pallas(
     packed: PackedScene,
@@ -778,10 +785,13 @@ def _render_rays_pallas(
     procedural: str = None,
     accumulate: bool = False,
     n_rows: int = None,
+    n_samples: int = None,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
     if n_rows is None:
         n_rows = H
+    if n_samples is None:
+        n_samples = N
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def count_to_rays(stats):
@@ -835,7 +845,7 @@ def _render_rays_pallas(
         )
         return color, count_to_rays(pflat(counts))
 
-    n_rays = W * n_rows * N
+    n_rays = W * n_rows * n_samples
     n_tiles = pl.cdiv(n_rays, tile_r * LANES)
 
     kernel = functools.partial(
@@ -848,6 +858,7 @@ def _render_rays_pallas(
         tile_r=tile_r,
         procedural=procedural,
         n_rows=n_rows,
+        n_samples=n_samples,
     )
 
     tile_out = lambda dt: (
@@ -965,15 +976,26 @@ def render_frame_pallas(
 
 def render_band_pallas(
     scene: Scene, cfg: RenderConfig, row_offset, n_rows: int, *,
-    interpret: bool = False, tile_r: int = TILE_R,
+    sample_offset=0.0, n_samples: int = None,
+    interpret: bool = False, tile_r: int = TILE_R, reduce: str = "avg",
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Render a horizontal band of ``n_rows`` image rows starting at
-    ``row_offset`` (which may be TRACED — e.g. lax.axis_index under
-    shard_map, where each device renders its own band). Returns the
-    (n_rows, W) framebuffer Vec3 + trace count."""
+    ``row_offset`` and the AA-sample slice [sample_offset,
+    sample_offset + n_samples) (offsets may be TRACED — e.g.
+    lax.axis_index under shard_map, where each device renders its own
+    band x slice). Returns the (n_rows, W) framebuffer Vec3 + trace
+    count; ``reduce='sum'`` returns the raw per-pixel sample SUM (the
+    sharded caller psums slices across chips before dividing by the
+    global sample count)."""
     if cfg.dtype != jnp.float32:
         raise ValueError("pallas path is float32-only")
-    packed = pack_scene(scene, jnp.float32, row_offset=row_offset)
+    W, N = cfg.width, cfg.rays_per_pixel
+    if n_samples is None:
+        n_samples = N
+    packed = pack_scene(
+        scene, jnp.float32, row_offset=row_offset,
+        sample_offset=sample_offset,
+    )
     color, count = _render_rays_pallas(
         packed,
         scene.skybox.packed.reshape(-1),
@@ -987,10 +1009,12 @@ def render_band_pallas(
         scene.skybox.procedural,
         False,
         n_rows,
+        n_samples,
     )
-    W, N = cfg.width, cfg.rays_per_pixel
 
-    def avg(c):
-        return c.reshape(N, n_rows, W).sum(axis=0) * (1.0 / N)
+    scale = 1.0 / N if reduce == "avg" else 1.0
 
-    return Vec3(avg(color.x), avg(color.y), avg(color.z)), count
+    def red(c):
+        return c.reshape(n_samples, n_rows, W).sum(axis=0) * scale
+
+    return Vec3(red(color.x), red(color.y), red(color.z)), count

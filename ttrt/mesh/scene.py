@@ -77,7 +77,7 @@ def trace_ray_mesh(
     gathers are cheap and the grid's O(visited cells) work wins.
 
     Attribute fetch happens ONCE per ray after traversal (normal + material
-    gathers by winning object id), not per candidate test."""
+    gathers by winning object id) in the shared _finish_hit epilogue."""
     import jax as _jax
 
     if _jax.default_backend() == "cpu":
@@ -86,55 +86,7 @@ def trace_ray_mesh(
         from ttrt.mesh.dense import dense_nearest
 
         gh = dense_nearest(scene.spheres, scene.triangles, o, d)
-    n_spheres = scene.spheres.count
-    hit_any = gh.obj >= 0
-    is_tri = gh.obj >= n_spheres
-    t = jnp.where(hit_any, gh.t, 0.0)
-
-    point = Vec3(o.x + t * d.x, o.y + t * d.y, o.z + t * d.z)
-
-    sidx = jnp.clip(gh.obj, 0, n_spheres - 1)
-    tidx = jnp.clip(gh.obj - n_spheres, 0, max(scene.triangles.count - 1, 0))
-
-    s_center = _gather_vec3(scene.spheres.center, sidx)
-    s_normal = point - s_center
-    t_normal = _gather_vec3(scene.triangles.normal, tidx)
-    normal_raw = t_normal.where(is_tri, s_normal)
-
-    s_mat = scene.spheres.material.take(sidx)
-    t_mat = scene.triangles.material.take(tidx)
-    color = t_mat.color.where(is_tri, s_mat.color)
-    refl = jnp.where(is_tri, t_mat.reflectivity, s_mat.reflectivity)
-    spec = jnp.where(is_tri, t_mat.specularity, s_mat.specularity)
-
-    # hit fixups: EPSILON back-offset toward the origin (guarded normalize)
-    to_origin = (o - point).normalize()
-    eps = jnp.asarray(constants.EPSILON, o.x.dtype)
-    point_off = Vec3(
-        point.x + to_origin.x * eps,
-        point.y + to_origin.y * eps,
-        point.z + to_origin.z * eps,
-    )
-    point_out = point_off.where(hit_any, o)
-    normal_out = normal_raw.where(hit_any, d).normalize()
-
-    if sample_sky:
-        sky = sample_skybox(scene.skybox, d, bilinear=bilinear)
-        color = color.where(hit_any, sky)
-    refl = jnp.where(hit_any, refl, 0.0)
-    spec = jnp.where(hit_any, spec, 0.0)
-
-    kind = jnp.where(
-        hit_any,
-        jnp.where(is_tri, HIT_TRIANGLE, HIT_SPHERE),
-        HIT_NONE,
-    ).astype(jnp.int32)
-    return Hit(
-        kind=kind,
-        point=point_out,
-        normal=normal_out,
-        material=Materials(color=color, reflectivity=refl, specularity=spec),
-    )
+    return _finish_hit(scene, o, d, gh, sample_sky, bilinear)
 
 
 def trace_ray_mesh_brute(

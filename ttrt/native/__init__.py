@@ -34,6 +34,7 @@ def _compile() -> Optional[str]:
     ) >= os.path.getmtime(src):
         return _LIB_PATH
     for cc in ("cc", "gcc", "clang", "g++"):
+        tmp = None
         try:
             # build to a temp file then atomically rename (concurrent imports)
             fd, tmp = tempfile.mkstemp(suffix=".so", dir=_HERE)
@@ -46,10 +47,11 @@ def _compile() -> Optional[str]:
             os.replace(tmp, _LIB_PATH)
             return _LIB_PATH
         except (subprocess.CalledProcessError, FileNotFoundError, OSError):
-            try:
-                os.unlink(tmp)
-            except OSError:
-                pass
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
             continue
     return None
 
@@ -85,7 +87,10 @@ def _load() -> None:
     available = True
 
 
-_load()
+try:
+    _load()
+except Exception:  # the fallback contract: never fail at import time
+    _lib, available = None, False
 
 
 class NativeAnsiEncoder:

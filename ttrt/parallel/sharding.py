@@ -47,7 +47,11 @@ def make_mesh(
     n = len(devices)
     if n_rows is None:
         n_rows = n // n_samples
-    assert n_rows * n_samples == n, (n_rows, n_samples, n)
+    if n_rows * n_samples != n:
+        raise ValueError(
+            f"mesh {n_rows}x{n_samples} does not tile the {n} available "
+            f"devices; pick factors of the device count"
+        )
     dev_grid = np.asarray(devices).reshape(n_rows, n_samples)
     return Mesh(dev_grid, ("rows", "samples"))
 
@@ -150,27 +154,72 @@ def make_sharded_frame_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     return frame
 
 
+def pathtrace_frame_sharded(
+    scene, lights, cfg: RenderConfig, key, mesh: Mesh,
+) -> Vec3:
+    """Config-5 path tracing over the device mesh. Stochastic AA samples
+    are embarrassingly parallel, so EVERY device (both mesh axes
+    flattened into one sample pool) renders the full image at
+    spp/n_devices with an independently folded key; one psum combines the
+    unclipped radiance sums and the divide + clip happen once globally —
+    the sharded estimator is the single-chip estimator with the same
+    total sample count, not an average of clipped partial means."""
+    from ttrt.render.pathtrace import pathtrace_frame
+
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if cfg.rays_per_pixel % n:
+        raise ValueError(
+            f"rays_per_pixel {cfg.rays_per_pixel} not divisible by "
+            f"{n} devices"
+        )
+    cfg_loc = cfg.with_(rays_per_pixel=cfg.rays_per_pixel // n)
+    inv_n = 1.0 / cfg.rays_per_pixel
+    axes = tuple(mesh.axis_names)
+
+    @jax.shard_map(
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def body(scene_rep, key_rep):
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        k = jax.random.fold_in(key_rep, idx)
+        fb = pathtrace_frame(scene_rep, lights, cfg_loc, k, reduce="sum")
+        return Vec3(
+            jnp.clip(jax.lax.psum(fb.x, axes) * inv_n, 0.0, 1.0),
+            jnp.clip(jax.lax.psum(fb.y, axes) * inv_n, 0.0, 1.0),
+            jnp.clip(jax.lax.psum(fb.z, axes) * inv_n, 0.0, 1.0),
+        )
+
+    return body(scene, key)
+
+
 def render_frame_sharded_pallas(
     scene: Scene, cfg: RenderConfig, mesh: Mesh, *, interpret: bool = False
 ) -> Tuple[Vec3, jnp.ndarray]:
-    """Multi-chip rendering through the PALLAS kernel: each device runs the
-    kernel on its own horizontal band (the band's row offset comes from
-    lax.axis_index, threaded into the kernel's in-SMEM camera block), so
-    the hand-tiled production path scales with the same zero-communication
-    row sharding as the XLA path. Requires a rows-only mesh.
+    """Multi-chip rendering through the PALLAS kernel over the full
+    ('rows', 'samples') mesh: each device runs the kernel on its own
+    (horizontal band x AA-sample slice) — the band's row offset and the
+    slice's sample offset come from lax.axis_index, threaded into the
+    kernel's in-SMEM camera block — so the hand-tiled production path
+    scales with the same sharding axes as the XLA path. Per-pixel sample
+    partial SUMS are combined with one psum over 'samples' before the
+    divide by the global sample count (exactly the reference's Σ/N,
+    TerminalRayTracer.c:1061-1065, reassociated across chips).
 
     ``interpret=True`` runs the kernel in interpreter mode — how the CPU
     test mesh validates this path without TPU hardware."""
     from ttrt.kernels.render_pallas import render_band_pallas
 
+    _check_divisible(cfg, mesh)
     n_rows_axis = mesh.shape["rows"]
-    if mesh.shape.get("samples", 1) != 1:
-        raise ValueError("pallas sharding uses a rows-only mesh")
-    if cfg.height % n_rows_axis:
-        raise ValueError(
-            f"height {cfg.height} not divisible by mesh rows {n_rows_axis}"
-        )
+    n_samp_axis = mesh.shape.get("samples", 1)
     rows_per = cfg.height // n_rows_axis
+    samples_per = cfg.rays_per_pixel // n_samp_axis
+    inv_n = 1.0 / cfg.rays_per_pixel
 
     @jax.shard_map(
         mesh=mesh,
@@ -180,12 +229,21 @@ def render_frame_sharded_pallas(
     )
     def body(scene_rep):
         i = jax.lax.axis_index("rows")
+        j = jax.lax.axis_index("samples")
         fb, count = render_band_pallas(
             scene_rep, cfg,
             (i * rows_per).astype(cfg.dtype), rows_per,
+            sample_offset=(j * samples_per).astype(cfg.dtype),
+            n_samples=samples_per,
             interpret=interpret,
+            reduce="sum",
         )
-        total = jax.lax.psum(count, "rows")
+        fb = Vec3(
+            jax.lax.psum(fb.x, "samples") * inv_n,
+            jax.lax.psum(fb.y, "samples") * inv_n,
+            jax.lax.psum(fb.z, "samples") * inv_n,
+        )
+        total = jax.lax.psum(jax.lax.psum(count, "samples"), "rows")
         return fb, total
 
     return body(scene)

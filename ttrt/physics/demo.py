@@ -74,12 +74,20 @@ def build_physics_frame_step(
     return frame_step
 
 
+def _ckpt_path(path: str) -> str:
+    """np.savez appends '.npz' when missing; normalize so save and load
+    always agree on the on-disk name (a bare '--checkpoint state.ckpt'
+    must round-trip)."""
+    return path if path.endswith(".npz") else path + ".npz"
+
+
 def save_checkpoint(path: str, state: PhysicsState) -> None:
     leaves, _ = jax.tree.flatten(state)
-    np.savez(path, *[np.asarray(l) for l in leaves])
+    np.savez(_ckpt_path(path), *[np.asarray(l) for l in leaves])
 
 
 def load_checkpoint(path: str, like: PhysicsState) -> Optional[PhysicsState]:
+    path = _ckpt_path(path)
     if not os.path.exists(path):
         return None
     data = np.load(path)

@@ -224,10 +224,17 @@ def pathtrace_batch(
 
 
 def pathtrace_frame(
-    scene, lights: AreaLights, cfg: RenderConfig, key
+    scene, lights: AreaLights, cfg: RenderConfig, key, *,
+    reduce: str = "mean",
 ) -> Vec3:
     """Render one progressive frame: (H, W) Vec3 radiance, averaged over
-    cfg.rays_per_pixel stochastic samples with random subpixel jitter."""
+    cfg.rays_per_pixel stochastic samples with random subpixel jitter.
+
+    ``reduce='sum'`` returns the UNCLIPPED per-pixel radiance sum over the
+    local samples — the multi-chip sample-sharded path psums slices across
+    devices and applies the divide + clip once globally, so the sharded
+    estimator is the single-chip estimator with more samples, not an
+    average of clipped partial means."""
     from ttrt.render.integrator import generate_rays
 
     dtype = cfg.dtype
@@ -259,6 +266,12 @@ def pathtrace_frame(
     ).normalize()
 
     color = pathtrace_batch(scene, lights, o, d, cfg, key)
+
+    if reduce == "sum":
+        def tot(c):
+            return c.reshape(H, W, N).sum(axis=-1)
+
+        return Vec3(tot(color.x), tot(color.y), tot(color.z))
 
     def avg(c):
         return c.reshape(H, W, N).mean(axis=-1)
