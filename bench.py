@@ -15,18 +15,23 @@ Measurement methodology for the axon tunnel backend (important):
   - a SYNCHRONOUS host fetch costs ~30 ms of pure round-trip latency, so
     per-frame sync timing measures the tunnel, not the chip;
   - instead all frame inputs are STAGED on device first, every frame is
-    enqueued asynchronously, and one jax.block_until_ready() at the end
-    waits for the whole batch: wall/N = true device time per frame
-    (verified: enqueue of N frames returns in ~1 ms, the block scales
-    linearly with N);
-  - every frame gets a DISTINCT camera time so no result cache can
-    short-circuit.
+    enqueued asynchronously, and one jax.block_until_ready() + one scalar
+    fetch at the end waits for the whole batch; the per-frame time is the
+    SLOPE between a small and a large batch, which cancels every constant
+    cost (round trip, dispatch, fetch);
+  - the backend CACHES results by (executable, input values), so every
+    run/phase consumes FRESH camera times from one monotonic series — no
+    value is ever timed twice (a reused value replays from the cache and
+    inflates throughput);
+  - run-to-run variance on the shared chip is ~±20%, so every reported
+    rate is the MEDIAN OF 3 independent slope measurements.
 
-The streaming tier reports three rates: device-only (pipeline rate of
+The streaming tier reports four rates: device-only (pipeline rate of
 render+encode on chip), synchronous end-to-end (one blocking fetch per
-frame — the tunnel-latency lower bound), and pipelined end-to-end (a
-small thread pool overlaps the per-frame fetches, the way ttrt.app
-streams; this is what a live terminal sees).
+frame — the tunnel-latency lower bound), pipelined end-to-end (threaded
+per-frame fetches), and BATCHED end-to-end (8 frames per device program /
+per fetch + host-side native ANSI expansion — the production streaming
+path of ttrt.app, which amortizes the tunnel RTT over the batch).
 
 vs_baseline compares against the BASELINE.json north-star target of
 1 Gray/s/chip (the reference publishes no numbers; its measured CPU rate,
@@ -37,6 +42,7 @@ from __future__ import annotations
 
 import concurrent.futures
 import json
+import statistics
 import sys
 import time
 
@@ -58,39 +64,56 @@ def _build(cfg_kwargs, dtype=jnp.float32):
     return cfg, scene
 
 
-def _staged_times(cfg, n, base=2.0, step=0.37):
-    """Distinct per-frame camera times, staged on device up front so the
-    timed loop performs zero host->device transfers."""
-    ts = [jnp.asarray(base + step * i, cfg.dtype) for i in range(n)]
-    jax.block_until_ready(ts)
-    return ts
+class TimeSeries:
+    """Monotonic source of FRESH staged device scalars: every take(n)
+    returns n camera times never used before in this process, staged on
+    device up front so timed loops perform zero host->device transfers."""
+
+    def __init__(self, dtype, base=2.0, step=0.37):
+        self.dtype = dtype
+        self.base = base
+        self.step = step
+        self.i = 0
+
+    def take(self, n):
+        ts = [
+            jnp.asarray(self.base + self.step * (self.i + k), self.dtype)
+            for k in range(n)
+        ]
+        self.i += n
+        jax.block_until_ready(ts)
+        return ts
 
 
-def _throughput(step_fn, scene, ts, n_small=6):
-    """Slope-based device timing, robust against both the tunnel RTT and
-    the backend's occasionally-lazy block_until_ready: time (enqueue +
-    block + ONE scalar fetch) at two batch sizes and take the slope —
-    every constant cost (round trip, dispatch, fetch) cancels."""
-
-    def run(batch):
-        outs = [step_fn(scene, t) for t in batch]
-        jax.block_until_ready(outs)
-        # a real host fetch guarantees execution actually finished
-        float(np.asarray(outs[-1][0]))
-        return outs
-
-    run(ts[:2])  # warm
-    t0 = time.perf_counter()
-    run(ts[:n_small])
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    outs = run(ts)
-    t_big = time.perf_counter() - t0
-    per_frame = (t_big - t_small) / (len(ts) - n_small)
-    return max(per_frame, 1e-9), outs
+def _run_batch(step_fn, scene, batch):
+    outs = [step_fn(scene, t) for t in batch]
+    jax.block_until_ready(outs)
+    # a real host fetch guarantees execution actually finished (the
+    # backend's block_until_ready has been observed lazy for small outputs)
+    float(np.asarray(jax.tree.leaves(outs[-1])[0]).reshape(-1)[0])
+    return outs
 
 
-def bench_rays(n_iters: int = 30) -> dict:
+def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
+                repeats=3):
+    """Median-of-`repeats` slope timing; every phase uses fresh times."""
+    _run_batch(step_fn, scene, series.take(2))  # warm
+    pers = []
+    outs = None
+    for _ in range(repeats):
+        small = series.take(n_small)
+        big = series.take(n_big)
+        t0 = time.perf_counter()
+        _run_batch(step_fn, scene, small)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = _run_batch(step_fn, scene, big)
+        t_big = time.perf_counter() - t0
+        pers.append(max((t_big - t_small) / (n_big - n_small), 1e-9))
+    return statistics.median(pers), outs
+
+
+def bench_rays() -> dict:
     """Mrays/s on the reference-default workload, Pallas + XLA paths."""
     from ttrt.frames import orbit_camera_frame
     from ttrt.kernels.render_pallas import render_frame_pallas
@@ -114,16 +137,16 @@ def bench_rays(n_iters: int = 30) -> dict:
     step_pallas = make_step(lambda s: render_frame_pallas(s, cfg))
     step_xla = make_step(lambda s: render_frame(s, cfg, count_rays=True))
 
-    ts = _staged_times(cfg, n_iters)
+    series = TimeSeries(cfg.dtype)
 
     t0 = time.perf_counter()
-    chk, rays0 = step_pallas(scene, ts[0])
+    chk, rays0 = step_pallas(scene, series.take(1)[0])
     float(chk)
     compile_s = time.perf_counter() - t0
 
-    sec_pal, outs = _throughput(step_pallas, scene, ts)
+    sec_pal, outs = _throughput(step_pallas, scene, series)
     rays_per_frame = int(outs[-1][1])
-    sec_xla, _ = _throughput(step_xla, scene, ts)
+    sec_xla, _ = _throughput(step_xla, scene, series, repeats=3)
 
     return {
         "mrays_per_s": rays_per_frame / sec_pal / 1e6,
@@ -136,11 +159,13 @@ def bench_rays(n_iters: int = 30) -> dict:
 
 
 def bench_streaming(n_iters: int = 60) -> dict:
-    """fps on the 240x64 streaming tier (render + on-device ANSI encode):
-    device pipeline rate, sync end-to-end, and pipelined end-to-end."""
+    """fps on the 240x64 streaming tier (render + ANSI encode): device
+    pipeline rate, sync end-to-end, pipelined end-to-end, and the batched
+    production path (8 frames/fetch + native host ANSI expansion)."""
+    from ttrt import native
     from ttrt.frames import orbit_camera_frame
     from ttrt.kernels.render_pallas import render_frame_pallas
-    from ttrt.term.encoder import encode_ansi_frame
+    from ttrt.term.encoder import encode_ansi_frame, encode_ansi_host
 
     cfg, scene = _build(
         dict(width=240, height=64, rays_per_pixel=10, bounce_limit=10)
@@ -154,43 +179,81 @@ def bench_streaming(n_iters: int = 60) -> dict:
         fb, _ = render_frame_pallas(scene.with_camera_frame(frame), cfg)
         return encode_ansi_frame(fb)
 
-    ts = _staged_times(cfg, n_iters, base=1.0, step=1.0 / 60.0)
-    buf = frame_step(scene, ts[0])
-    first = np.asarray(buf)  # compile + first copy
+    series = TimeSeries(cfg.dtype, base=500.0, step=1.0 / 60.0)
+    first = np.asarray(frame_step(scene, series.take(1)[0]))
 
-    # device pipeline rate (enqueue all, block once)
-    sec_dev, _ = _throughput(frame_step, scene, ts)
+    # device pipeline rate (enqueue all, block once; median-of-3 slope)
+    sec_dev, _ = _throughput(frame_step, scene, series)
 
     # synchronous end-to-end: one blocking full-frame fetch per frame
-    t0 = time.perf_counter()
-    for t in ts[: min(20, n_iters)]:
-        np.asarray(frame_step(scene, t))
-    sec_sync = (time.perf_counter() - t0) / min(20, n_iters)
-
-    # pipelined end-to-end: overlap fetches in a small thread pool (what
-    # ttrt.app's streaming loop does); frames still arrive in order
-    with concurrent.futures.ThreadPoolExecutor(max_workers=3) as pool:
-        futs = []
+    def sync_run(n):
+        ts = series.take(n)
         t0 = time.perf_counter()
         for t in ts:
-            futs.append(pool.submit(np.asarray, frame_step(scene, t)))
-        for f in futs:
-            f.result()
-        sec_pipe = (time.perf_counter() - t0) / n_iters
+            np.asarray(frame_step(scene, t))
+        return (time.perf_counter() - t0) / n
+
+    sync_run(2)
+    sec_sync = statistics.median(sync_run(10) for _ in range(3))
+
+    # pipelined end-to-end: overlap per-frame fetches in a thread pool
+    def pipe_run(n):
+        ts = series.take(n)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            t0 = time.perf_counter()
+            futs = [pool.submit(np.asarray, frame_step(scene, t)) for t in ts]
+            for f in futs:
+                f.result()
+            return (time.perf_counter() - t0) / n
+
+    pipe_run(4)
+    sec_pipe = statistics.median(pipe_run(n_iters) for _ in range(3))
+
+    # BATCHED production path (ttrt.app default on accelerator backends):
+    # K frames per device program, ONE compact-RGB fetch per batch, native
+    # host ANSI expansion counted in the loop.
+    from ttrt.app import build_frame_batch_step
+
+    K = 8
+    batch_step = build_frame_batch_step(scene, cfg, K)
+    zero3 = jnp.zeros(3, cfg.dtype)
+    jax.block_until_ready(zero3)
+    enc = (
+        native.NativeAnsiEncoder(cfg.height, cfg.width).encode
+        if native.available else encode_ansi_host
+    )
+
+    def batched_run(n_batches):
+        ts = series.take(n_batches)
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as pool:
+            t0 = time.perf_counter()
+            futs = [
+                pool.submit(np.asarray, batch_step(t, zero3)) for t in ts
+            ]
+            for f in futs:
+                frames = f.result()
+                for rgb in frames:
+                    enc(rgb)  # the host-side work a live terminal would do
+            return (time.perf_counter() - t0) / (n_batches * K)
+
+    np.asarray(batch_step(series.take(1)[0], zero3))  # compile
+    batched_run(2)
+    sec_batched = statistics.median(batched_run(12) for _ in range(3))
 
     return {
         "fps_device": 1.0 / sec_dev,
         "fps_sync": 1.0 / sec_sync,
         "fps_pipelined": 1.0 / sec_pipe,
+        "fps_batched": 1.0 / sec_batched,
         "frame_ms_device": sec_dev * 1e3,
         "frame_bytes": int(first.shape[0]),
+        "stream_batch": K,
     }
 
 
-def bench_textured(n_iters: int = 20) -> dict:
+def bench_textured() -> dict:
     """Demo workload with a FILE-style (non-procedural) skybox: exercises
-    the deferred texel fetch (row-gather + one-hot) instead of the
-    in-kernel procedural evaluation."""
+    the real texel fetch instead of the in-kernel procedural evaluation."""
     from ttrt.frames import orbit_camera_frame
     from ttrt.kernels.render_pallas import render_frame_pallas
     from ttrt.scene import Skybox
@@ -210,14 +273,13 @@ def bench_textured(n_iters: int = 20) -> dict:
         fb, rays = render_frame_pallas(scene.with_camera_frame(frame), cfg)
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
 
-    ts = _staged_times(cfg, n_iters)
-    sec, outs = _throughput(step, scene, ts)
+    series = TimeSeries(cfg.dtype, base=900.0)
+    sec, outs = _throughput(step, scene, series)
     return {"mrays_textured": int(outs[-1][1]) / sec / 1e6}
 
 
-def bench_many_object(n_iters: int = 20) -> dict:
-    """Config-4 tier: 10k spheres + triangle-mesh floor through the
-    uniform grid (XLA DDA traversal)."""
+def bench_many_object() -> dict:
+    """Config-4 tier: 10k spheres + triangle-mesh floor (dense tester)."""
     from ttrt.assets import make_colors_skybox, skybox_from_faces
     from ttrt.config import RenderConfig
     from ttrt.frames import orbit_camera_frame
@@ -241,17 +303,23 @@ def bench_many_object(n_iters: int = 20) -> dict:
         )
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
 
-    ts = _staged_times(cfg, n_iters, base=0.5, step=0.21)
-    sec, outs = _throughput(step, scene, ts)
+    series = TimeSeries(cfg.dtype, base=1300.0, step=0.21)
+    sec, outs = _throughput(step, scene, series, n_small=3, n_big=9)
     return {
         "mrays_10k_dense": int(outs[-1][1]) / sec / 1e6,
         "grid_dims": list(scene.grid.dims),
     }
 
 
-def bench_physics(n_iters: int = 200) -> dict:
-    """Config-5 tier: GJK contact stepping rate for a 64-body world."""
-    from ttrt.physics.demo import build_physics_demo
+def bench_physics() -> dict:
+    """Config-5 tier: GJK stepping rate for a 64-body world, plus the
+    FUSED physics-step + render + encode frame rate (the tier's actual
+    claim: physics-driven animation on screen)."""
+    from ttrt.config import RenderConfig
+    from ttrt.physics.demo import (
+        build_physics_demo,
+        build_physics_frame_step,
+    )
     from ttrt.physics.world import physics_step
     from ttrt.scene import demo_scene, Spheres
     from ttrt.assets import make_colors_skybox, skybox_from_faces
@@ -282,26 +350,69 @@ def bench_physics(n_iters: int = 200) -> dict:
     s = step(state)
     jax.block_until_ready(jax.tree.leaves(s))
 
-    def chain(k):
-        x = state
+    def chain(x, k):
         for _ in range(k):
             x = step(x)
         jax.block_until_ready(jax.tree.leaves(x))
         float(np.asarray(x.pos.x[0]))
         return x
 
-    chain(3)
-    t0 = time.perf_counter()
-    chain(20)
-    t_small = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    chain(n_iters)
-    t_big = time.perf_counter() - t0
-    per = (t_big - t_small) / (n_iters - 20)
-    return {"physics_steps_per_s_64body": 1.0 / max(per, 1e-9)}
+    # state evolves every step, so the value cache never replays; the
+    # chain slope still cancels the fetch RTT
+    x = chain(state, 3)
+
+    def measure():
+        nonlocal x
+        t0 = time.perf_counter()
+        x = chain(x, 20)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x = chain(x, 120)
+        t_big = time.perf_counter() - t0
+        return max((t_big - t_small) / 100.0, 1e-9)
+
+    per = statistics.median(measure() for _ in range(3))
+    out = {"physics_steps_per_s_64body": 1.0 / per}
+
+    # fused physics + render + on-device ANSI encode (streaming shape)
+    cfg = RenderConfig(width=240, height=64, rays_per_pixel=4,
+                       bounce_limit=4, dtype=jnp.float32)
+    pscene = demo_scene(
+        skybox_from_faces(
+            make_colors_skybox(256), jnp.float32, procedural="colors"
+        ),
+        cfg.width, cfg.height, jnp.float32,
+    )
+    pstate, pparams = build_physics_demo(pscene, jnp.float32)
+    frame_step = build_physics_frame_step(pscene, cfg, pparams)
+    zero3 = jnp.zeros(3, jnp.float32)
+
+    def fchain(st, k):
+        buf = None
+        for _ in range(k):
+            st, buf = frame_step(st, zero3)
+        jax.block_until_ready(buf)
+        float(np.asarray(buf[0]))
+        return st
+
+    st = fchain(pstate, 2)
+
+    def fmeasure():
+        nonlocal st
+        t0 = time.perf_counter()
+        st = fchain(st, 5)
+        t_small = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        st = fchain(st, 25)
+        t_big = time.perf_counter() - t0
+        return max((t_big - t_small) / 20.0, 1e-9)
+
+    per_f = statistics.median(fmeasure() for _ in range(3))
+    out["physics_render_fps"] = 1.0 / per_f
+    return out
 
 
-def bench_pathtrace(n_iters: int = 15) -> dict:
+def bench_pathtrace() -> dict:
     """Config-5 tier: soft-shadow path tracing throughput."""
     from ttrt.frames import orbit_camera_frame
     from ttrt.render.pathtrace import AreaLights, pathtrace_frame
@@ -325,8 +436,8 @@ def bench_pathtrace(n_iters: int = 15) -> dict:
         fb = pathtrace_frame(scene.with_camera_frame(frame), lights, cfg, key)
         return (fb.x.sum() + fb.y.sum() + fb.z.sum(), jnp.uint32(0))
 
-    ts = _staged_times(cfg, n_iters, base=0.3, step=0.41)
-    sec, _ = _throughput(step, scene, ts)
+    series = TimeSeries(cfg.dtype, base=1700.0, step=0.41)
+    sec, _ = _throughput(step, scene, series, n_small=3, n_big=12)
     samples = cfg.n_primary_rays
     return {"pathtrace_msamples_per_s": samples / sec / 1e6}
 
@@ -357,6 +468,9 @@ def main() -> int:
         "fps_240x64_device": round(s["fps_device"], 1),
         "fps_240x64_sync": round(s["fps_sync"], 1),
         "fps_240x64_pipelined": round(s["fps_pipelined"], 1),
+        "fps_240x64_batched": round(s["fps_batched"], 1),
+        "stream_batch": s["stream_batch"],
+        "median_of": 3,
         "device": str(backend),
     }
     for k, v in extra.items():

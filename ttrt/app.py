@@ -125,6 +125,137 @@ def build_frame_step(scene: Scene, cfg: RenderConfig, encode: str = "device",
     return frame_step
 
 
+def build_frame_batch_step(scene: Scene, cfg: RenderConfig, batch: int,
+                           renderer: str = "auto"):
+    """jit: (t0, cam_offset) -> (batch, H, W, 3) uint8 — ``batch``
+    consecutive animation frames (t0, t0+1/fps, ...) rendered in ONE
+    device program and fetched in ONE device->host copy.
+
+    On a remote-attached TPU the per-fetch round trip (~30 ms on the axon
+    tunnel) — not the chip (thousands of device-fps at the streaming
+    tier) — is the end-to-end bottleneck; batching amortizes one RTT over
+    ``batch`` frames. The host expands each compact RGB frame to ANSI with
+    the native encoder (csrc/ttrt_native.c) and paces emission to the
+    60 fps contract (TerminalRayTracer.c:50,1350-1364). lax.map keeps
+    compile cost and program size at one frame's worth."""
+    from ttrt.term.encoder import encode_rgb_frame
+
+    render = _pick_renderer(scene, cfg, renderer)
+
+    @jax.jit
+    def batch_step(t0, cam_offset):
+        ts = t0 + jnp.arange(batch, dtype=cfg.dtype) * jnp.asarray(
+            cfg.frame_duration, cfg.dtype
+        )
+
+        def one(t):
+            frame = orbit_camera_frame(t, cfg.dtype)
+            frame = frame._replace(origin=frame.origin + cam_offset)
+            s = scene.with_camera_frame(frame)
+            fb, _ = render(s, cfg)
+            return encode_rgb_frame(fb)
+
+        return jax.lax.map(one, ts)
+
+    return batch_step
+
+
+def _run_animation_batched(cfg: RenderConfig, scene: Scene, batch: int,
+                           max_frames: int | None, interactive: bool,
+                           renderer: str, stats: bool,
+                           pipeline: int) -> float:
+    """Batched streaming loop: ``batch`` frames per device program + ONE
+    compact-RGB fetch, several fetches in flight, host-side native ANSI
+    expansion, per-frame 60 fps pacing. Keyboard camera input applies at
+    batch granularity (one batch of lag). Frame times follow the frame
+    INDEX (t = n/fps), not the wall clock — the pacing loop keeps the two
+    in step, and a fetch stall skips no scene time."""
+    import collections
+    import concurrent.futures
+
+    from ttrt import native
+    from ttrt.term.encoder import encode_ansi_host
+    from ttrt.utils.profiling import FrameMeter, StageTimers
+
+    batch_step = build_frame_batch_step(scene, cfg, batch, renderer)
+    host_enc = (
+        native.NativeAnsiEncoder(cfg.height, cfg.width)
+        if native.available else None
+    )
+    depth = max(2, pipeline or 3)
+    pool = concurrent.futures.ThreadPoolExecutor(max_workers=depth)
+    pending: "collections.deque" = collections.deque()
+    cam_offset = np.zeros(3, np.float64)
+    meter = FrameMeter()
+    timers = StageTimers()
+    fps = 0.0
+    n = 0
+    issued = 0
+    deadline = None
+    try:
+        with SigintFlag() as sig, TerminalDisplay() as disp, \
+                KeyboardInput() as keys:
+            while not sig.received and (
+                max_frames is None or n < max_frames
+            ):
+                while len(pending) < depth and (
+                    max_frames is None or issued < max_frames + batch
+                ):
+                    t0 = issued * cfg.frame_duration
+                    dev = batch_step(
+                        jnp.asarray(t0, cfg.dtype),
+                        jnp.asarray(cam_offset, cfg.dtype),
+                    )
+                    pending.append(pool.submit(np.asarray, dev))
+                    issued += batch
+                with timers.stage("render+copy"):
+                    frames = pending.popleft().result()
+                for rgb in frames:
+                    if sig.received or (
+                        max_frames is not None and n >= max_frames
+                    ):
+                        break
+                    t_f0 = time.monotonic()
+                    if interactive:
+                        key = keys.poll()
+                        if key == "quit":
+                            sig.received = True
+                            break
+                        elif key == "up":
+                            cam_offset[1] += CAMERA_MOVE_SPEED
+                        elif key == "down":
+                            cam_offset[1] -= CAMERA_MOVE_SPEED
+                        elif key == "left":
+                            cam_offset[0] -= CAMERA_MOVE_SPEED
+                        elif key == "right":
+                            cam_offset[0] += CAMERA_MOVE_SPEED
+                    with timers.stage("encode+write"):
+                        disp.write_frame(
+                            host_enc.encode(rgb) if host_enc is not None
+                            else encode_ansi_host(rgb)
+                        )
+                    budget = cfg.frame_duration
+                    now = time.monotonic()
+                    deadline = (
+                        now if deadline is None else deadline
+                    ) + budget
+                    if deadline < now:
+                        deadline = now
+                    with timers.stage("pace"):
+                        native.sleep_until(deadline)
+                    n += 1
+                    dt_frame = max(time.monotonic() - t_f0, 1e-9)
+                    fps = 1.0 / dt_frame
+                    meter.update(dt_frame)
+                    disp.write_fps(fps)
+    finally:
+        pool.shutdown(wait=False)
+    if stats:
+        timers.log_summary()
+        log(f"ema: {meter.hud()}  frames: {n}  batch: {batch}")
+    return fps
+
+
 def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   max_frames: int | None = None,
                   interactive: bool = True,
@@ -135,7 +266,8 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   pipeline: int = 0,
                   pathtrace: bool = False,
                   seed: int = 0,
-                  renderer: str = "auto") -> float:
+                  renderer: str = "auto",
+                  batch: int = 0) -> float:
     """The reference's infinite frame loop (TerminalRayTracer.c:1315-1366):
     render, draw, pace to the frame budget, print fps. Returns the last
     measured fps.
@@ -157,6 +289,18 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
     if scene is None:
         skybox = assets.load_skybox(skybox_name, cfg.dtype)
         scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
+    if batch == 0:
+        # auto: batch fetches when frames cross a high-latency device link
+        # (remote-attached TPU); on CPU the copy is free and batching only
+        # adds input lag
+        batch = 8 if (
+            not pathtrace and jax.default_backend() != "cpu"
+        ) else 1
+    if batch > 1 and not pathtrace:
+        return _run_animation_batched(
+            cfg, scene, batch, max_frames, interactive, renderer, stats,
+            pipeline,
+        )
     if pathtrace:
         frame_step = build_pathtrace_frame_step(scene, cfg, encode, seed)
     else:
@@ -436,6 +580,11 @@ def main(argv=None) -> int:
                    help="frames kept in flight with threaded host copies "
                         "(hides host-link latency; camera input lags by N "
                         "frames; 0 = fully synchronous)")
+    p.add_argument("--batch", type=int, default=0,
+                   help="frames rendered per device program and fetched "
+                        "per device->host copy (amortizes the host-link "
+                        "round trip; camera input lags by one batch; "
+                        "0 = auto: 8 on accelerator backends, 1 on CPU)")
     p.add_argument("--profile", metavar="DIR", default=None,
                    help="write a jax.profiler device trace for the run")
     p.add_argument("--debug-nans", action="store_true",
@@ -535,7 +684,7 @@ def main(argv=None) -> int:
                       scene=scene, profile_dir=args.profile,
                       stats=args.stats, pipeline=args.pipeline,
                       pathtrace=args.pathtrace, seed=args.seed,
-                      renderer=args.renderer)
+                      renderer=args.renderer, batch=args.batch)
     except assets.AssetError as e:
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1
