@@ -1,0 +1,146 @@
+"""Cluster-culled many-object path: packing invariants, broad-phase
+conservativeness, and narrow-kernel (interpret mode) parity vs the
+brute-force oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ttrt.mesh.scene as mesh_scene
+from ttrt.kernels.mesh_pallas import cluster_nearest
+from ttrt.mesh.clusters import (BLOCK, TILE_RAYS, live_clusters,
+                                pack_clusters)
+from ttrt.mesh.scene import trace_ray_mesh_brute
+from ttrt.scene import HIT_SPHERE, HIT_TRIANGLE
+from ttrt.vec import Vec3
+
+from test_mesh import _random_mesh_scene, _vec
+
+
+def _rays(rng, n_rays):
+    o = _vec(rng.uniform(-18, 18, (n_rays, 3)).astype(np.float32))
+    o = Vec3(o.x, jnp.abs(o.y) + 0.5, o.z)
+    d = _vec(rng.normal(size=(n_rays, 3)).astype(np.float32)).normalize()
+    return o, d
+
+
+class TestPacking:
+    def test_permutation_and_padding(self):
+        scene = _random_mesh_scene(n=300)
+        pack = scene.clusters
+        ids = np.asarray(pack.sph[4]).T.reshape(-1)  # (NB*8,) column-major
+        real = ids[ids >= 0].astype(np.int64)
+        assert sorted(real.tolist()) == list(range(300))
+        assert (ids < 0).sum() == (-300) % BLOCK
+        tid = np.asarray(pack.tri[9]).T.reshape(-1)
+        realt = tid[tid >= 0].astype(np.int64)
+        m = scene.triangles.count
+        assert sorted(realt.tolist()) == list(range(300, 300 + m))
+
+    def test_aabbs_contain_members(self):
+        scene = _random_mesh_scene(n=300)
+        pack = scene.clusters
+        sph = np.asarray(pack.sph)  # (5, 8, NB)
+        ids = sph[4].T.reshape(-1)
+        cx = sph[0].T.reshape(-1)
+        cy = sph[1].T.reshape(-1)
+        cz = sph[2].T.reshape(-1)
+        # recover radius from ccr2 = |C|^2 - r^2
+        r2 = cx * cx + cy * cy + cz * cz - sph[3].T.reshape(-1)
+        r = np.sqrt(np.maximum(r2, 0.0))
+        lo = np.asarray(pack.sph_lo)
+        hi = np.asarray(pack.sph_hi)
+        for k in range(pack.kb_sph):
+            sl = slice(k * BLOCK, (k + 1) * BLOCK)
+            m = ids[sl] >= 0
+            assert (cx[sl][m] - r[sl][m] >= lo[k, 0] - 1e-4).all()
+            assert (cy[sl][m] - r[sl][m] >= lo[k, 1] - 1e-4).all()
+            assert (cz[sl][m] - r[sl][m] >= lo[k, 2] - 1e-4).all()
+            assert (cx[sl][m] + r[sl][m] <= hi[k, 0] + 1e-4).all()
+            assert (cy[sl][m] + r[sl][m] <= hi[k, 1] + 1e-4).all()
+            assert (cz[sl][m] + r[sl][m] <= hi[k, 2] + 1e-4).all()
+
+
+class TestBroadPhase:
+    def test_conservative_vs_brute(self, rng):
+        """Any actual nearest hit must come from a cluster the broad
+        phase kept live for that ray's tile."""
+        scene = _random_mesh_scene(n=300)
+        pack = scene.clusters
+        n_rays = TILE_RAYS * 2
+        o, d = _rays(rng, n_rays)
+        live = np.asarray(jax.jit(
+            lambda o, d: live_clusters(pack, o, d, 2)
+        )(o, d))
+        hit = jax.jit(
+            lambda o, d: cluster_nearest(pack, o, d, interpret=True)
+        )(o, d)
+        obj = np.asarray(hit.obj)
+        # map winning original ids back to packed slots -> cluster index
+        ids = np.asarray(pack.sph[4]).T.reshape(-1)
+        tid = np.asarray(pack.tri[9]).T.reshape(-1)
+        slot_of = {int(v): s for s, v in enumerate(ids) if v >= 0}
+        tslot_of = {int(v): s for s, v in enumerate(tid) if v >= 0}
+        for ray in range(n_rays):
+            w = int(obj[ray])
+            if w < 0:
+                continue
+            tile = ray // TILE_RAYS
+            if w < 300:
+                k = slot_of[w] // BLOCK
+            else:
+                k = pack.kb_sph + tslot_of[w] // BLOCK
+            assert live[tile, k], (ray, w, k)
+
+
+class TestNearestParity:
+    @pytest.mark.parametrize("n_rays", [TILE_RAYS, TILE_RAYS + 197])
+    def test_matches_brute(self, rng, n_rays):
+        scene = _random_mesh_scene(n=300)
+        o, d = _rays(rng, n_rays)
+        hit = jax.jit(
+            lambda o, d: cluster_nearest(scene.clusters, o, d,
+                                         interpret=True)
+        )(o, d)
+        from ttrt.mesh.dense import dense_nearest
+
+        ref = jax.jit(
+            lambda o, d: dense_nearest(scene.spheres, scene.triangles, o, d)
+        )(o, d)
+        obj = np.asarray(hit.obj)
+        robj = np.asarray(ref.obj)
+        t = np.asarray(hit.t)
+        rt = np.asarray(ref.t)
+        # identical winner everywhere except exact-f32 near-ties, where
+        # both must still agree on t to fp noise
+        same = obj == robj
+        np.testing.assert_allclose(
+            t[np.isfinite(rt)], rt[np.isfinite(rt)], rtol=2e-5, atol=1e-5
+        )
+        assert same.mean() > 0.999, f"{(~same).sum()} winner mismatches"
+        assert (np.isfinite(t) == np.isfinite(rt)).all()
+        assert np.isfinite(t).any()
+
+    def test_end_to_end_render(self, rng):
+        """Full integrator render through the cluster kernel (interpret)
+        vs the normal CPU grid path."""
+        from ttrt.config import RenderConfig
+        from ttrt.render.integrator import render_frame
+
+        scene = _random_mesh_scene(n=200)
+        cfg = RenderConfig(width=32, height=16, rays_per_pixel=2,
+                           bounce_limit=2, dtype=jnp.float32)
+        fb_ref, _ = render_frame(scene, cfg, count_rays=True)
+        old = mesh_scene._FORCE_CLUSTERS
+        mesh_scene._FORCE_CLUSTERS = True
+        try:
+            fb_cl, _ = render_frame(scene, cfg, count_rays=True)
+        finally:
+            mesh_scene._FORCE_CLUSTERS = old
+        ref = np.asarray(fb_ref.to_array())
+        cl = np.asarray(fb_cl.to_array())
+        diff = np.abs(ref - cl).max(axis=-1)
+        # winner near-ties can flip isolated pixels; the image must agree
+        assert float((diff > 1e-3).mean()) <= 0.01
+        assert float(np.median(diff)) < 1e-5

@@ -132,6 +132,46 @@ class TestGridTraversal:
         kinds = set(np.asarray(hit_g.kind).tolist())
         assert HIT_SPHERE in kinds and HIT_TRIANGLE in kinds
 
+    def test_moving_spheres_trace_correctly(self, rng):
+        """with_spheres drops the now-stale grid so animated geometry
+        routes to the dense tester on EVERY backend (a stale grid can
+        silently miss a sphere that moved out of its rasterized cells).
+        Moving every sphere far from its build position must still trace
+        exactly like the brute-force oracle."""
+        scene = _random_mesh_scene(n=64)
+        assert scene.grid is not None
+        sph = scene.spheres
+        moved = sph._replace(
+            center=Vec3(sph.center.x + 7.5, sph.center.y + 3.0,
+                        sph.center.z - 6.0)
+        )
+        scene2 = scene.with_spheres(moved)
+        assert scene2.grid is None  # acceleration invalidated, not stale
+
+        n_rays = 256
+        o = _vec(rng.uniform(-18, 18, (n_rays, 3)).astype(np.float32))
+        o = Vec3(o.x, jnp.abs(o.y) + 0.5, o.z)
+        d = _vec(rng.normal(size=(n_rays, 3)).astype(np.float32)).normalize()
+
+        hit = jax.jit(
+            lambda s, o, d: trace_ray_mesh(s, o, d, sample_sky=False)
+        )(scene2, o, d)
+        hit_b = jax.jit(
+            lambda s, o, d: trace_ray_mesh_brute(s, o, d, sample_sky=False)
+        )(scene2, o, d)
+        np.testing.assert_array_equal(
+            np.asarray(hit.kind), np.asarray(hit_b.kind)
+        )
+        # dense restructures the quadratic (c = o.o - 2 C.O + (|C|^2-r^2)
+        # vs the oracle's |o-C|^2 - r^2): equal in R, a few ulps apart in
+        # f32, and the gap scales with |t| — so the point compare must be
+        # relative (f32 eps at t~15 is already ~1e-3 absolute).
+        for a, b in zip(hit.point, hit_b.point):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=2e-4)
+        kinds = set(np.asarray(hit.kind).tolist())
+        assert HIT_SPHERE in kinds  # moved spheres are actually being hit
+
     def test_down_ray_hits_floor(self):
         scene = _random_mesh_scene(n=2)
         o = _vec([[0.0, 5.0, 0.0]])

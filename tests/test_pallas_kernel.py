@@ -1,10 +1,36 @@
-"""Pallas render kernel vs the fused-XLA oracle.
+"""Pallas render kernel vs the fused-XLA oracle: quantized-u8 exactness
+with an ENUMERATED knife-edge set (no blanket percentage tolerances).
 
-The kernel (ttrt.kernels.render_pallas) must reproduce the integrator's
-output on the demo scene — same math, same op order — so a small config is
-compared element-wise in interpret mode (tests run on CPU; the compiled
-Mosaic path is exercised on real TPU by bench.py and the app)."""
+The kernel (ttrt.kernels.render_pallas) reorders fp math for speed (rsqrt
+normalize, sqrt-free hit predicates, shared 1/(2a)), so lanes sitting on a
+hit/shadow/texel boundary can legitimately flip vs the oracle. The round-1
+contract tolerated a blanket "<=1% of pixels differ"; this version replaces
+it with the reference bar (BASELINE.json north_star: pixel-exact at matched
+precision, TerminalRayTracer.c:1157-1163 quantization):
 
+  every u8-quantized pixel must MATCH the oracle bit-for-bit UNLESS it is
+  in an explicitly enumerated knife-edge class:
+
+  K1  perturbation-unstable at eps=3e-6: the ORACLE's own quantized output
+      changes under ulp-scale camera translations/rotations or light
+      shifts — silhouettes, checker lines, skybox face diagonals and texel
+      edges. These pixels have no stable "correct" value at f32 precision.
+  K2  perturbation-unstable at eps=1e-4: catastrophically-cancelled
+      predicates (e.g. the reflection-ray origin's c ~ 2*r*EPSILON term in
+      the sphere quadratic) where an ulp of difference acts like a much
+      larger geometric shift. Still discontinuity-adjacent, just with a
+      wider basin.
+  KQ  quantization-proximity: the float values agree to <5e-5*255 but the
+      oracle sits within 0.05/255 of a u8 truncation boundary.
+
+  The knife classes must stay SPARSE (the enumeration is meaningful) and
+  the flip count small; everything outside them is bit-equal.
+
+Tests run on CPU in interpret mode; the compiled Mosaic path is exercised
+on real TPU by bench.py and the app.
+"""
+
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -15,7 +41,62 @@ from ttrt.frames import orbit_camera_frame
 from ttrt.kernels.render_pallas import render_frame_pallas
 from ttrt.render.integrator import render_frame
 from ttrt.scene import demo_scene
-import jax
+from ttrt.vec import Vec3
+
+
+def quantize_u8(img) -> np.ndarray:
+    """The reference's output quantization: (int)(c*255) truncation
+    (buffered_draw_screen, TerminalRayTracer.c:1157-1163)."""
+    return np.clip((np.asarray(img, np.float64) * 255).astype(np.int32), 0, 255)
+
+
+def _rotmat(axis: int, ang: float) -> np.ndarray:
+    c, s = np.cos(ang), np.sin(ang)
+    if axis == 0:
+        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
+    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
+
+
+def perturbed_scenes(scene, eps: float) -> list:
+    """Ten ulp-scale pokes at everything a branch predicate can depend on:
+    camera origin (+-x,y,z), camera basis rotations about x and y (sky
+    texels depend only on DIRECTION, so translations alone cannot expose
+    texel-edge pixels), and the point-light position (shadow boundaries)."""
+    cam = scene.camera
+    f = cam.frame
+    outs = []
+    for axis in range(3):
+        for sgn in (1.0, -1.0):
+            delta = jnp.zeros(3, f.origin.dtype).at[axis].set(sgn * eps)
+            outs.append(scene._replace(camera=cam._replace(
+                frame=f._replace(origin=f.origin + delta))))
+    for axis in (0, 1):
+        for sgn in (1.0, -1.0):
+            basis = (np.asarray(f.basis, np.float64)
+                     @ _rotmat(axis, sgn * eps)).astype(np.asarray(f.basis).dtype)
+            outs.append(scene._replace(camera=cam._replace(
+                frame=f._replace(basis=jnp.asarray(basis)))))
+    pls = scene.point_lights
+    for sgn in (1.0, -1.0):
+        pos = Vec3(pls.position.x + sgn * eps, pls.position.y + sgn * eps,
+                   pls.position.z + sgn * eps)
+        outs.append(scene._replace(point_lights=pls._replace(position=pos)))
+    return outs
+
+
+def knife_mask(scene, cfg, q_ref: np.ndarray, eps: float) -> np.ndarray:
+    """(H, W) bool: oracle quantized output is unstable under any eps-scale
+    perturbation. All perturbed renders run in ONE vmapped call."""
+    stacked = jax.tree.map(
+        lambda *leaves: jnp.stack(leaves), *perturbed_scenes(scene, eps)
+    )
+    fbs, _ = jax.jit(
+        jax.vmap(lambda s: render_frame(s, cfg, count_rays=True))
+    )(stacked)
+    imgs = quantize_u8(np.stack(
+        [np.asarray(fbs.x), np.asarray(fbs.y), np.asarray(fbs.z)], axis=-1
+    ))  # (P, H, W, 3)
+    return (imgs != q_ref[None]).any(axis=(0, 3))
 
 
 def _small_setup(skybox_maker=make_colors_skybox, t=0.7):
@@ -37,22 +118,48 @@ def _small_setup(skybox_maker=make_colors_skybox, t=0.7):
     (make_colors_skybox, 0.7),
     (make_uv_checker_skybox, 3.3),
 ])
-def test_pallas_matches_oracle(maker, t):
-    """The kernel reorders fp math for speed (rsqrt normalize, sqrt-free
-    hit predicates, shared 1/(2a)), so lanes sitting EXACTLY on a
-    hit/shadow boundary may flip vs the oracle. Contract: almost every
-    pixel agrees to fp noise; boundary flips are rare."""
+def test_pallas_quantized_exact_off_knife_edges(maker, t):
     scene, cfg = _small_setup(maker, t)
     fb_ref, rays_ref = render_frame(scene, cfg, count_rays=True)
     fb_pal, rays_pal = render_frame_pallas(scene, cfg, interpret=True)
 
-    ref = np.asarray(fb_ref.to_array())
-    pal = np.asarray(fb_pal.to_array())
-    diff = np.abs(ref - pal).max(axis=-1)
-    frac_loose = float((diff > 1e-3).mean())
-    assert frac_loose <= 0.01, f"{frac_loose:.4f} of pixels off >1e-3"
-    assert float(np.median(diff)) < 2e-5
-    # trace accounting: same schedule modulo boundary flips
+    ref = np.asarray(fb_ref.to_array(), np.float64)
+    pal = np.asarray(fb_pal.to_array(), np.float64)
+    q_ref = quantize_u8(ref)
+    q_pal = quantize_u8(pal)
+
+    k1 = knife_mask(scene, cfg, q_ref, 3e-6)
+    k2 = knife_mask(scene, cfg, q_ref, 1e-4)
+    boundary = np.abs(ref * 255 - np.round(ref * 255))
+    kq = (boundary < 0.05) & (np.abs(ref - pal) * 255 < 0.05)
+
+    flips = q_pal != q_ref  # (H, W, 3) channel flips
+    knife = k1 | k2
+    uncovered = flips & ~knife[..., None] & ~kq
+    if uncovered.any():
+        ys, xs, cs = np.nonzero(uncovered)
+        detail = [
+            (int(y), int(x), int(c), float(ref[y, x, c]), float(pal[y, x, c]))
+            for y, x, c in zip(ys, xs, cs)
+        ][:16]
+        pytest.fail(
+            f"{uncovered.sum()} quantized flips outside the enumerated "
+            f"knife-edge classes: (y,x,ch,ref,pal)={detail}"
+        )
+
+    # bit-equality holds on the stable set by construction (asserted above)
+    # and the enumeration itself is sparse + flips rare:
+    n_px = flips.shape[0] * flips.shape[1]
+    assert knife.mean() <= 0.40, f"knife enumeration too broad: {knife.mean():.2%}"
+    assert flips.any(axis=-1).sum() <= 0.03 * n_px
+    # float values off the knife set never deviate by even half a quantum
+    # (sub-quantum branch effects deep in a bounce chain are possible; a
+    # deviation >= 1/255 would mean a WRONG pixel that merely failed to
+    # flip this particular frame)
+    off = ~knife
+    assert float(np.abs(ref - pal)[off].max()) < 0.5 / 255
+    assert float(np.median(np.abs(ref - pal))) < 2e-5
+    # trace accounting: same schedule modulo knife-edge branch flips
     assert abs(int(rays_ref) - int(rays_pal)) <= max(
         0.005 * int(rays_ref), 16
     )
@@ -67,13 +174,12 @@ def test_pallas_rejects_unsupported():
 
 
 @pytest.mark.parametrize("name", ["colors", "uv_checker"])
-def test_procedural_sky_matches_textured(name):
+def test_procedural_sky_matches_textured_exactly(name):
     """The in-kernel procedural cubemap evaluation replays the generator's
-    float32 arithmetic exactly, BUT the accumulating kernel layout also
-    computes the AA jitter from a scalar sample index instead of a vector
-    — a last-ulp ray-direction difference that can flip isolated
-    hit-boundary pixels. Contract: the sky COLOR math is exact (median
-    diff 0), flips are rare, and the trace schedule is preserved."""
+    float32 arithmetic exactly (same op order, same (x*255) truncation
+    round-trip), so the gather-free path must be BIT-IDENTICAL to the
+    deferred-texel-fetch path — zero tolerance, every pixel, and the same
+    trace schedule."""
     from ttrt.assets import load_skybox
     from ttrt.scene import Skybox
 
@@ -95,8 +201,5 @@ def test_procedural_sky_matches_textured(name):
 
     img_tex, rays_tex = render(sky_plain)
     img_proc, rays_proc = render(sky_tagged)
-    diff = np.abs(img_proc - img_tex).max(axis=-1)
-    assert float(np.median(diff)) == 0.0  # sky math is bit-exact
-    frac = float((diff > 1e-3).mean())
-    assert frac <= 0.01, f"{frac:.4f} of pixels flipped"
-    assert abs(rays_tex - rays_proc) <= max(0.005 * rays_tex, 16)
+    np.testing.assert_array_equal(img_proc, img_tex)
+    assert rays_tex == rays_proc

@@ -143,13 +143,27 @@ class TestShardedPallas:
         ref = np.asarray(fb.to_array())
         shd = np.asarray(fb_s.to_array())
         assert shd.shape == ref.shape
-        diff = np.abs(ref - shd).max(axis=-1)
-        # same math, different program constants per band/slice + psum
-        # reassociation of the AA sum: allow rare boundary flips
-        # (standard kernel-vs-kernel contract)
-        assert float((diff > 1e-3).mean()) <= 0.01
-        assert float(np.median(diff)) == 0.0
-        assert abs(int(rays_s) - int(rays)) <= max(0.01 * int(rays), 32)
+        # Per-ray math is bit-identical across shardings (row/sample
+        # offsets enter ray generation as exact small-integer f32 adds);
+        # the ONLY legal difference is reassociation of the per-pixel AA
+        # sum (local partial sums + psum vs one flat sum): a couple of
+        # ulps, never a branch flip.
+        np.testing.assert_allclose(ref, shd, rtol=0.0, atol=4e-7)
+        # quantized-u8 output must be bit-equal except at channels the
+        # oracle places within half the reassociation error of a u8
+        # truncation boundary (enumerated, not a blanket tolerance)
+        q_ref = np.clip((ref.astype(np.float64) * 255).astype(np.int32),
+                        0, 255)
+        q_shd = np.clip((shd.astype(np.float64) * 255).astype(np.int32),
+                        0, 255)
+        boundary = np.abs(ref.astype(np.float64) * 255
+                          - np.round(ref.astype(np.float64) * 255))
+        flips = q_ref != q_shd
+        assert not (flips & (boundary > 1e-3)).any(), (
+            "quantized flip away from a truncation boundary"
+        )
+        # the trace schedule is identical, not merely close
+        assert int(rays_s) == int(rays)
 
 
 class TestShardedPathtrace:

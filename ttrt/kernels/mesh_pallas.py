@@ -1,0 +1,288 @@
+"""Pallas TPU kernel for the many-object tier: cluster-culled nearest-hit.
+
+The demo-tier kernel (render_pallas) keeps its 6-sphere scene in SMEM
+scalars; 10k spheres need a different shape. This kernel streams NOTHING —
+the whole packed geometry (ttrt.mesh.clusters.ClusterPack, ~200 KB at 10k
+spheres) is VMEM-resident for the entire launch — and instead cuts WORK:
+
+  grid = (ray tiles, geometry clusters); the XLA broad phase
+  (clusters.live_clusters) precomputes a (tile, cluster) live matrix that
+  rides in as a scalar-prefetch operand, and every dead (tile, cluster)
+  step skips its ~3.5k-instruction pair-block body with a single pl.when.
+  Typical scenes cull 70-90% of pairs — the only way past the VPU
+  roofline that a dense exhaustive test pins (ttrt/mesh/dense.py).
+
+Pair-block shape: spheres ride SUBLANES, rays ride LANES. A cluster is 16
+consecutive (8, 1) component columns; each pairs against a (1, 128) ray
+row as a native (8, 128) vreg with zero transposes or gathers. Per-ray
+best (t, id) accumulates in VMEM scratch as 8 SUBLANE-CLASS PARTIALS per
+ray (no per-block lane reductions — the fold to a single winner happens
+once per tile, 3 halving steps, at the last grid step).
+
+Reference lineage: ray_intersects_sphere (TerminalRayTracer.c:638-672)
+restructured exactly as ttrt.mesh.dense documents (shared 1/(2a),
+precomputed |C|^2 - r^2, sqrt-free predicates); the triangle path is
+Moller-Trumbore with the reference's plane epsilons
+(TerminalRayTracer.c:680,685) matching ttrt.mesh.triangles.ray_triangle.
+The winning ids are ORIGINAL object indices (the pack stores them as an
+f32 component row), so the shared _finish_hit epilogue and material
+gathers are oblivious to the Morton reordering.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ttrt.config import constants
+from ttrt.mesh.clusters import (BLOCK, GROUPS, TILE_RAYS, ClusterPack,
+                                live_clusters)
+from ttrt.mesh.grid import GridHit
+from ttrt.vec import Vec3
+
+_F32_MAX = float(np.finfo(np.float32).max)
+
+
+def _mesh_kernel(
+    live_ref,  # scalar prefetch: (T, KB) int32
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, 8, 128) ray tiles
+    sph_ref,  # (5, 8, NB) VMEM-resident packed spheres (or None)
+    tri_ref,  # (10, 8, MB) VMEM-resident packed triangles (or None)
+    out_t_ref, out_id_ref,  # (1, 8, 128) per-tile winners
+    bp_t, bp_id,  # VMEM scratch (64, 128): 8 ray rows x 8 sublane classes
+    *,
+    kb_sph: int,
+    kb_tri: int,
+):
+    i = pl.program_id(0)
+    kb = pl.program_id(1)
+    KB = kb_sph + kb_tri
+
+    @pl.when(kb == 0)
+    def _init():
+        bp_t[...] = jnp.full((64, 128), _F32_MAX, jnp.float32)
+        bp_id[...] = jnp.full((64, 128), -1.0, jnp.float32)
+
+    live = live_ref[i, kb] != 0
+
+    def ray_row(r):
+        ox = ox_ref[0, r : r + 1, :]  # (1, 128)
+        oy = oy_ref[0, r : r + 1, :]
+        oz = oz_ref[0, r : r + 1, :]
+        dx = dx_ref[0, r : r + 1, :]
+        dy = dy_ref[0, r : r + 1, :]
+        dz = dz_ref[0, r : r + 1, :]
+        return ox, oy, oz, dx, dy, dz
+
+    if kb_sph:
+        @pl.when(live & (kb < kb_sph))
+        def _spheres():
+            for r in range(8):
+                ox, oy, oz, dx, dy, dz = ray_row(r)
+                a = dx * dx + dy * dy + dz * dz
+                od = ox * dx + oy * dy + oz * dz
+                oo = ox * ox + oy * oy + oz * oz
+                four_a = 4.0 * a
+                inv2a = 0.5 / a
+                bt = bp_t[r * 8 : (r + 1) * 8, :]
+                bid = bp_id[r * 8 : (r + 1) * 8, :]
+                for g in range(GROUPS):
+                    col = kb * GROUPS + g
+                    cx = sph_ref[0, :, pl.ds(col, 1)]  # (8, 1)
+                    cy = sph_ref[1, :, pl.ds(col, 1)]
+                    cz = sph_ref[2, :, pl.ds(col, 1)]
+                    ccr2 = sph_ref[3, :, pl.ds(col, 1)]
+                    sid = sph_ref[4, :, pl.ds(col, 1)]
+                    cd = cx * dx + cy * dy + cz * dz  # (8, 128)
+                    co = cx * ox + cy * oy + cz * oz
+                    b = 2.0 * (od - cd)
+                    c = oo - 2.0 * co + ccr2
+                    disc = b * b - four_a * c
+                    hit = (disc >= 0.0) & (b < 0.0) & (c > 0.0)
+                    t0 = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv2a
+                    take = hit & (t0 < bt)
+                    bt = jnp.where(take, t0, bt)
+                    bid = jnp.where(take, jnp.broadcast_to(sid, take.shape),
+                                    bid)
+                bp_t[r * 8 : (r + 1) * 8, :] = bt
+                bp_id[r * 8 : (r + 1) * 8, :] = bid
+
+    if kb_tri:
+        @pl.when(live & (kb >= kb_sph))
+        def _tris():
+            for r in range(8):
+                ox, oy, oz, dx, dy, dz = ray_row(r)
+                bt = bp_t[r * 8 : (r + 1) * 8, :]
+                bid = bp_id[r * 8 : (r + 1) * 8, :]
+                for g in range(GROUPS):
+                    col = (kb - kb_sph) * GROUPS + g
+                    v0x = tri_ref[0, :, pl.ds(col, 1)]
+                    v0y = tri_ref[1, :, pl.ds(col, 1)]
+                    v0z = tri_ref[2, :, pl.ds(col, 1)]
+                    e1x = tri_ref[3, :, pl.ds(col, 1)]
+                    e1y = tri_ref[4, :, pl.ds(col, 1)]
+                    e1z = tri_ref[5, :, pl.ds(col, 1)]
+                    e2x = tri_ref[6, :, pl.ds(col, 1)]
+                    e2y = tri_ref[7, :, pl.ds(col, 1)]
+                    e2z = tri_ref[8, :, pl.ds(col, 1)]
+                    tid = tri_ref[9, :, pl.ds(col, 1)]
+                    # Moller-Trumbore, plane epsilons of c:680,685
+                    px = dy * e2z - dz * e2y  # (8, 128)
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    ok = jnp.abs(det) > constants.PLANE_DENOM_EPS
+                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    sx = ox - v0x
+                    sy = oy - v0y
+                    sz = oz - v0z
+                    u = (sx * px + sy * py + sz * pz) * inv
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    v = (dx * qx + dy * qy + dz * qz) * inv
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    hit = (
+                        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (tt > constants.PLANE_T_EPS)
+                    )
+                    take = hit & (tt < bt)
+                    bt = jnp.where(take, tt, bt)
+                    bid = jnp.where(take, jnp.broadcast_to(tid, take.shape),
+                                    bid)
+                bp_t[r * 8 : (r + 1) * 8, :] = bt
+                bp_id[r * 8 : (r + 1) * 8, :] = bid
+
+    @pl.when(kb == KB - 1)
+    def _fold():
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        out_t = jnp.full((8, 128), _F32_MAX, jnp.float32)
+        out_id = jnp.full((8, 128), -1.0, jnp.float32)
+        for r in range(8):
+            bt = bp_t[r * 8 : (r + 1) * 8, :]
+            bid = bp_id[r * 8 : (r + 1) * 8, :]
+            for h in (4, 2, 1):
+                t_hi = bt[h : 2 * h, :]
+                i_hi = bid[h : 2 * h, :]
+                t_lo = bt[0:h, :]
+                i_lo = bid[0:h, :]
+                tk = t_hi < t_lo
+                bt = jnp.where(tk, t_hi, t_lo)
+                bid = jnp.where(tk, i_hi, i_lo)
+            out_t = jnp.where(row_iota == r, bt, out_t)  # bt: (1,128) bcast
+            out_id = jnp.where(row_iota == r, bid, out_id)
+        out_t_ref[0] = out_t
+        out_id_ref[0] = out_id
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kb_sph", "kb_tri", "interpret")
+)
+def _cluster_nearest_padded(
+    pack: ClusterPack,
+    live: jnp.ndarray,  # (T, KB) int32
+    o6,  # 6 arrays (T, 8, 128) f32
+    kb_sph: int,
+    kb_tri: int,
+    interpret: bool = False,
+):
+    T = o6[0].shape[0]
+    KB = kb_sph + kb_tri
+    ray_spec = pl.BlockSpec(
+        (1, 8, 128), lambda i, k, live: (i, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    geom_in = []
+    geom_specs = []
+    if kb_sph:
+        geom_in.append(pack.sph)
+        geom_specs.append(pl.BlockSpec(
+            pack.sph.shape, lambda i, k, live: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    if kb_tri:
+        geom_in.append(pack.tri)
+        geom_specs.append(pl.BlockSpec(
+            pack.tri.shape, lambda i, k, live: (0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+
+    def kernel(live_ref, *refs):
+        rays = refs[:6]
+        n = 6
+        sph = refs[n] if kb_sph else None
+        n += 1 if kb_sph else 0
+        tri = refs[n] if kb_tri else None
+        n += 1 if kb_tri else 0
+        _mesh_kernel(
+            live_ref, *rays, sph, tri, *refs[n:],
+            kb_sph=kb_sph, kb_tri=kb_tri,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T, KB),
+        in_specs=[ray_spec] * 6 + geom_specs,
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i, k, live: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, k, live: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((64, 128), jnp.float32),
+            pltpu.VMEM((64, 128), jnp.float32),
+        ],
+    )
+    out_t, out_id = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((T, 8, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(live, *o6, *geom_in)
+    return out_t, out_id
+
+
+def cluster_nearest(
+    pack: ClusterPack, o: Vec3, d: Vec3, *, interpret: bool = False
+) -> GridHit:
+    """Nearest (t, original object id) over the packed clusters. Drop-in
+    for ttrt.mesh.dense.dense_nearest on scenes carrying a ClusterPack.
+    Rays may be any count/direction (zero-padded to 1024-ray tiles; a
+    zero direction yields a == 0 -> b == 0 -> no hit, so padding cannot
+    win)."""
+    R = o.x.shape[0]
+    T = -(-R // TILE_RAYS)
+    pad = T * TILE_RAYS - R
+
+    def p(x):
+        x = x.astype(jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), jnp.float32)])
+        return x
+
+    flat = [p(o.x), p(o.y), p(o.z), p(d.x), p(d.y), p(d.z)]
+    live = live_clusters(
+        pack,
+        Vec3(flat[0], flat[1], flat[2]),
+        Vec3(flat[3], flat[4], flat[5]),
+        T,
+    )
+    o6 = tuple(x.reshape(T, 8, 128) for x in flat)
+    out_t, out_id = _cluster_nearest_padded(
+        pack, live, o6, pack.kb_sph, pack.kb_tri, interpret
+    )
+    t = out_t.reshape(-1)[:R]
+    obj = out_id.reshape(-1)[:R].astype(jnp.int32)
+    hit_ok = obj >= 0
+    return GridHit(
+        t=jnp.where(hit_ok, t, jnp.inf), obj=jnp.where(hit_ok, obj, -1)
+    )

@@ -1,0 +1,231 @@
+"""Spatially-clustered geometry packing for the TPU many-object kernel.
+
+The dense exhaustive tester (ttrt.mesh.dense) is VPU-roofline-bound: every
+ray pays ~20 arithmetic ops per scene object, so 10k spheres cap out around
+10-25 Mray/s no matter how well the pair math schedules. The only lever
+left is CULLING — doing less work — and the TPU-native way to cull without
+divergent control flow is COARSE lockstep culling:
+
+  * spheres are sorted by a Morton (z-order) key and chunked into
+    contiguous CLUSTERS of 128 (= one VPU lane tile), each with a
+    precomputed AABB;
+  * a cheap XLA broad phase tests every (ray tile, cluster AABB) pair and
+    reduces to a per-tile live matrix — "may any ray of this 1024-ray tile
+    hit this cluster?";
+  * the Pallas narrow kernel (ttrt.kernels.mesh_pallas) walks the
+    (tile, cluster) grid and skips dead clusters via pl.when, so the
+    expensive per-pair quadratic runs only on the ~10-30% of pairs the
+    broad phase could not rule out.
+
+The reference's roadmap item this serves is the acceleration-structure
+line (TerminalRayTracer.c:30, README.md:20); the uniform grid
+(ttrt.mesh.grid) remains the CPU-path structure, while this is its
+TPU-native replacement: regular, branch-free, lockstep-friendly.
+
+Cluster packing happens ONCE at scene build on the host (NumPy): the sort
+order, padding, and AABBs are static data, exactly like the grid build.
+Scenes whose geometry moves (MeshScene.with_spheres) drop the pack the
+same way they drop the grid.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ttrt.mesh.triangles import Triangles
+from ttrt.scene import Spheres
+from ttrt.vec import Vec3
+
+BLOCK = 128  # spheres/triangles per cluster == VPU lanes
+GROUPS = BLOCK // 8  # 8-sublane pair groups per cluster
+TILE_RAYS = 1024  # rays per kernel tile: (8, 128)
+
+# padding sphere: center 0 / ccr2 huge => disc = b^2 - 4*a*(oo + 1e30) < 0
+# for every real ray, so pad slots can never win (no mask op needed).
+_PAD_CCR2 = 1.0e30
+
+
+class ClusterPack(NamedTuple):
+    """Device-resident packed geometry (all float32).
+
+    ``sph``: (5, 8, NB) where [c, s, b] is component c of sphere ``8*b+s``
+    in Morton order — component rows are cx cy cz ccr2 id with
+    ccr2 = |C|^2 - r^2 precomputed (the narrow kernel's quadratic
+    ``c`` term needs only ccr2, not the radius) and id the ORIGINAL
+    sphere index as f32 (-1 on padding). The (8, NB) layout puts 8
+    consecutive spheres on sublanes so the kernel reads a (8, 1)
+    column and broadcasts it against a (1, 128) ray row — the pair
+    block is a native (8, 128) vreg with zero transposes.
+    ``tri``: (10, 8, MB) rows v0xyz e1xyz e2xyz id, same layout.
+    ``sph_lo/hi``: (KB_s, 3) radius-inflated cluster AABBs.
+    ``tri_lo/hi``: (KB_t, 3) cluster AABBs over all three vertices.
+    """
+
+    sph: jnp.ndarray
+    sph_lo: jnp.ndarray
+    sph_hi: jnp.ndarray
+    tri: jnp.ndarray
+    tri_lo: jnp.ndarray
+    tri_hi: jnp.ndarray
+
+    @property
+    def kb_sph(self) -> int:
+        return self.sph_lo.shape[0]
+
+    @property
+    def kb_tri(self) -> int:
+        return self.tri_lo.shape[0]
+
+
+def _morton_order(points: np.ndarray) -> np.ndarray:
+    """Sort order by 30-bit 3D Morton code (10 bits/axis). Consecutive
+    chunks of the order are spatially compact, which is all the cluster
+    AABBs need."""
+    lo = points.min(axis=0)
+    span = np.maximum(points.max(axis=0) - lo, 1e-9)
+    q = np.clip(((points - lo) / span * 1023.0), 0, 1023).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    key = (spread(q[:, 0]) << np.uint64(2)) | (
+        spread(q[:, 1]) << np.uint64(1)
+    ) | spread(q[:, 2])
+    return np.argsort(key, kind="stable")
+
+
+def _pad_cols(a: np.ndarray, fill: float) -> np.ndarray:
+    pad = (-a.shape[0]) % BLOCK
+    if pad:
+        a = np.concatenate([a, np.full((pad,), fill, a.dtype)])
+    return a
+
+
+def pack_clusters(
+    spheres: Optional[Spheres], triangles: Optional[Triangles]
+) -> ClusterPack:
+    """Host-side pack: Morton-sort, chunk into 128-wide clusters, compute
+    AABBs, lay out component-major (8, NB) tables."""
+    f32 = np.float32
+
+    def table(rows):  # list of (n_pad,) -> (len(rows), 8, n_pad // 8)
+        return jnp.asarray(
+            np.stack(
+                [r.reshape(-1, 8).T for r in rows], axis=0
+            ),
+            jnp.float32,
+        )
+
+    if spheres is not None and spheres.count:
+        c = np.stack(
+            [np.asarray(v, np.float64) for v in spheres.center], axis=-1
+        ).astype(f32)
+        r = np.asarray(spheres.radius, f32)
+        order = _morton_order(c)
+        c, r = c[order], r[order]
+        ccr2 = (c[:, 0] ** 2 + c[:, 1] ** 2 + c[:, 2] ** 2 - r * r).astype(
+            f32
+        )
+        ids = order.astype(f32)
+        lo_pts = c - r[:, None]
+        hi_pts = c + r[:, None]
+        cols = [
+            _pad_cols(c[:, 0], 0.0), _pad_cols(c[:, 1], 0.0),
+            _pad_cols(c[:, 2], 0.0), _pad_cols(ccr2, _PAD_CCR2),
+            _pad_cols(ids, -1.0),
+        ]
+        sph = table(cols)
+        kb = cols[0].shape[0] // BLOCK
+        # per-cluster AABB over the REAL members only (padding is inert)
+        lo = np.full((kb, 3), np.inf, f32)
+        hi = np.full((kb, 3), -np.inf, f32)
+        for k in range(kb):
+            sl = slice(k * BLOCK, min((k + 1) * BLOCK, c.shape[0]))
+            lo[k] = lo_pts[sl].min(axis=0)
+            hi[k] = hi_pts[sl].max(axis=0)
+        sph_lo, sph_hi = jnp.asarray(lo), jnp.asarray(hi)
+    else:
+        sph = jnp.zeros((5, 8, 0), jnp.float32)
+        sph_lo = jnp.zeros((0, 3), jnp.float32)
+        sph_hi = jnp.zeros((0, 3), jnp.float32)
+
+    n_spheres = spheres.count if spheres is not None else 0
+    if triangles is not None and triangles.count:
+        v0 = np.stack(
+            [np.asarray(v, np.float64) for v in triangles.v0], -1
+        ).astype(f32)
+        e1 = np.stack(
+            [np.asarray(v, np.float64) for v in triangles.e1], -1
+        ).astype(f32)
+        e2 = np.stack(
+            [np.asarray(v, np.float64) for v in triangles.e2], -1
+        ).astype(f32)
+        centroid = v0 + (e1 + e2) / 3.0
+        order = _morton_order(centroid)
+        v0, e1, e2 = v0[order], e1[order], e2[order]
+        # GridHit id convention: triangles follow spheres in one id space
+        ids = (order + n_spheres).astype(f32)
+        cols = [
+            _pad_cols(v0[:, i], 0.0) for i in range(3)
+        ] + [
+            _pad_cols(e1[:, i], 0.0) for i in range(3)
+        ] + [
+            _pad_cols(e2[:, i], 0.0) for i in range(3)
+        ] + [_pad_cols(ids, -1.0)]
+        tri = table(cols)
+        kb = cols[0].shape[0] // BLOCK
+        pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (m, 3 verts, 3)
+        lo = np.full((kb, 3), np.inf, f32)
+        hi = np.full((kb, 3), -np.inf, f32)
+        for k in range(kb):
+            sl = slice(k * BLOCK, min((k + 1) * BLOCK, v0.shape[0]))
+            lo[k] = pts[sl].min(axis=(0, 1))
+            hi[k] = pts[sl].max(axis=(0, 1))
+        tri_lo, tri_hi = jnp.asarray(lo), jnp.asarray(hi)
+    else:
+        tri = jnp.zeros((10, 8, 0), jnp.float32)
+        tri_lo = jnp.zeros((0, 3), jnp.float32)
+        tri_hi = jnp.zeros((0, 3), jnp.float32)
+
+    return ClusterPack(sph, sph_lo, sph_hi, tri, tri_lo, tri_hi)
+
+
+def live_clusters(
+    pack: ClusterPack, o: Vec3, d: Vec3, n_tiles: int
+) -> jnp.ndarray:
+    """Conservative XLA broad phase: (T, KB_s + KB_t) int32 — 1 when ANY
+    ray of tile t may hit cluster k's AABB (robust slab test; an axis with
+    |d| ~ 0 passes iff the origin lies inside that slab, so no false
+    negatives from inf*0 NaNs). ``o``/``d`` components are the PADDED
+    (T*1024,) flat arrays."""
+    lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)  # (K, 3)
+    hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
+    eps = jnp.float32(1e-6)
+
+    tmin = jnp.full((o.x.shape[0], lo.shape[0]), -jnp.inf, jnp.float32)
+    tmax = jnp.full((o.x.shape[0], lo.shape[0]), jnp.inf, jnp.float32)
+    for ax, (oc, dc) in enumerate(((o.x, d.x), (o.y, d.y), (o.z, d.z))):
+        oc = oc[:, None]
+        dc = dc[:, None]
+        par = jnp.abs(dc) <= eps
+        inv = 1.0 / jnp.where(par, 1.0, dc)
+        t1 = (lo[None, :, ax] - eps - oc) * inv
+        t2 = (hi[None, :, ax] + eps - oc) * inv
+        near = jnp.minimum(t1, t2)
+        far = jnp.maximum(t1, t2)
+        inside = (oc >= lo[None, :, ax] - eps) & (oc <= hi[None, :, ax] + eps)
+        near = jnp.where(par, jnp.where(inside, -jnp.inf, jnp.inf), near)
+        far = jnp.where(par, jnp.where(inside, jnp.inf, -jnp.inf), far)
+        tmin = jnp.maximum(tmin, near)
+        tmax = jnp.minimum(tmax, far)
+
+    hit = tmax >= jnp.maximum(tmin, 0.0)  # (R, K)
+    live = jnp.any(hit.reshape(n_tiles, TILE_RAYS, -1), axis=1)
+    return live.astype(jnp.int32)

@@ -16,6 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ttrt.config import constants
+from ttrt.mesh.clusters import ClusterPack as ClusterPackT
+from ttrt.mesh.clusters import pack_clusters
 from ttrt.mesh.grid import UniformGrid, build_grid, traverse_grid
 from ttrt.mesh.triangles import Triangles, floor_mesh, ray_triangle
 from ttrt.render import dispatch
@@ -41,20 +43,29 @@ class MeshScene(NamedTuple):
 
     spheres: Spheres
     triangles: Triangles
-    grid: UniformGrid
+    grid: Optional[UniformGrid]  # None = no acceleration (animated scenes)
     directional_lights: DirectionalLights
     point_lights: PointLights
     camera: Camera
     skybox: Skybox
+    # TPU acceleration: Morton-clustered geometry for the Pallas
+    # cluster-culled kernel (ttrt.kernels.mesh_pallas); None routes the
+    # accelerator path to the plain dense tester.
+    clusters: Optional["ClusterPackT"] = None
 
     def with_camera_frame(self, frame) -> "MeshScene":
         return self._replace(camera=self.camera._replace(frame=frame))
 
     def with_spheres(self, spheres: Spheres) -> "MeshScene":
-        """Swap sphere positions (physics tier) — grid NOT rebuilt; callers
-        animating spheres should rebuild or use a grid sized for the swept
-        volume."""
-        return self._replace(spheres=spheres)
+        """Swap sphere positions (physics tier). Moving geometry
+        INVALIDATES the static acceleration structures, so both the
+        uniform grid and the cluster pack are dropped and tracing routes
+        to the dense exhaustive tester on every backend — correct by
+        construction for any motion. Callers that animate within a known
+        volume can rebuild with ttrt.mesh.build_grid /
+        ttrt.mesh.clusters.pack_clusters (host-side) and _replace(...) to
+        get the accelerated paths back."""
+        return self._replace(spheres=spheres, grid=None, clusters=None)
 
 
 def _gather_vec3(v: Vec3, idx) -> Vec3:
@@ -74,14 +85,22 @@ def trace_ray_mesh(
     the DENSE blocked tester (ttrt.mesh.dense) — measured two orders of
     magnitude faster than the DDA grid walk on TPU, whose per-step gathers
     XLA lowers to ~8 ns/element — and the uniform grid on CPU, where
-    gathers are cheap and the grid's O(visited cells) work wins.
+    gathers are cheap and the grid's O(visited cells) work wins. A scene
+    whose geometry has moved (with_spheres) carries grid=None and routes
+    to the dense tester on every backend: a stale grid can silently drop
+    intersections, dense cannot.
 
     Attribute fetch happens ONCE per ray after traversal (normal + material
     gathers by winning object id) in the shared _finish_hit epilogue."""
     import jax as _jax
 
-    if _jax.default_backend() == "cpu":
+    on_cpu = _jax.default_backend() == "cpu"
+    if on_cpu and scene.grid is not None and not _FORCE_CLUSTERS:
         gh = traverse_grid(scene.grid, scene.spheres, scene.triangles, o, d)
+    elif scene.clusters is not None and (not on_cpu or _FORCE_CLUSTERS):
+        from ttrt.kernels.mesh_pallas import cluster_nearest
+
+        gh = cluster_nearest(scene.clusters, o, d, interpret=on_cpu)
     else:
         from ttrt.mesh.dense import dense_nearest
 
@@ -89,67 +108,62 @@ def trace_ray_mesh(
     return _finish_hit(scene, o, d, gh, sample_sky, bilinear)
 
 
+# test hook: route CPU traces through the cluster kernel (interpret mode)
+_FORCE_CLUSTERS = False
+
+
 def trace_ray_mesh_brute(
     scene: MeshScene, o: Vec3, d: Vec3, *, sample_sky: bool = True,
     bilinear: bool = False,
 ) -> Hit:
-    """Brute-force oracle: test EVERY sphere and triangle (lax.scan over
-    chunks). Used by tests to validate the grid traversal and by tiny
-    scenes where a grid is overhead."""
+    """Brute-force oracle: test EVERY (object, ray) pair as one broadcast
+    (N, R) block and take the columnwise nearest. Test-only (the grid and
+    dense production paths are validated against it), so clarity and
+    compile time beat memory frugality: an earlier chunked-scan version
+    with 64 unrolled per-object gathers per step took XLA:CPU minutes to
+    compile; this form compiles in seconds.
+
+    Nearest-object tie-breaks match the sequential reference scan
+    (trace_ray_mesh/dense: ascending ids, strict '<' replace): argmin
+    returns the FIRST minimum, i.e. the lowest id, and a triangle
+    replaces a sphere only on a strictly smaller t."""
     dtype = o.x.dtype
     shape = o.x.shape
     best_t = jnp.full(shape, jnp.inf, dtype)
     best_obj = jnp.full(shape, -1, jnp.int32)
     n_spheres = scene.spheres.count
 
-    CH = 64
+    ob = Vec3(o.x[None, ...], o.y[None, ...], o.z[None, ...])
+    db = Vec3(d.x[None, ...], d.y[None, ...], d.z[None, ...])
 
-    def scan_chunks(n, body, best):
-        pad = (-n) % CH
-        idx = jnp.arange(n + pad)
-        valid = idx < n
-        return jax.lax.scan(
-            body,
-            best,
-            (idx.reshape(-1, CH), valid.reshape(-1, CH)),
-        )[0]
+    def col(v):  # (N,) object column -> (N, 1...) broadcast vs rays
+        return v.reshape((-1,) + (1,) * len(shape))
+
+    def colv(v3: Vec3) -> Vec3:
+        return Vec3(col(v3.x), col(v3.y), col(v3.z))
 
     if n_spheres:
-        def sph_body(best, xs):
-            bt, bo = best
-            ids, valid = xs
-            for j in range(CH):
-                i = ids[j]
-                center = _gather_vec3(scene.spheres.center, i)
-                t0, hit = ray_sphere_t0(o, d, center,
-                                        jnp.take(scene.spheres.radius, i))
-                take = hit & valid[j] & (t0 < bt)
-                bt = jnp.where(take, t0, bt)
-                bo = jnp.where(take, i.astype(jnp.int32), bo)
-            return (bt, bo), None
-
-        best_t, best_obj = scan_chunks(
-            n_spheres, sph_body, (best_t, best_obj)
+        t0, hit = ray_sphere_t0(
+            ob, db, colv(scene.spheres.center), col(scene.spheres.radius)
+        )
+        t0 = jnp.where(hit, t0, jnp.inf)
+        best_t = jnp.min(t0, axis=0)
+        best_obj = jnp.where(
+            jnp.isfinite(best_t), jnp.argmin(t0, axis=0).astype(jnp.int32),
+            -1,
         )
 
     if scene.triangles.count:
-        def tri_body(best, xs):
-            bt, bo = best
-            ids, valid = xs
-            for j in range(CH):
-                i = ids[j]
-                v0 = _gather_vec3(scene.triangles.v0, i)
-                e1 = _gather_vec3(scene.triangles.e1, i)
-                e2 = _gather_vec3(scene.triangles.e2, i)
-                tt, hit = ray_triangle(o, d, v0, e1, e2)
-                take = hit & valid[j] & (tt < bt)
-                bt = jnp.where(take, tt, bt)
-                bo = jnp.where(take, (i + n_spheres).astype(jnp.int32), bo)
-            return (bt, bo), None
-
-        best_t, best_obj = scan_chunks(
-            scene.triangles.count, tri_body, (best_t, best_obj)
+        tt, hit = ray_triangle(
+            ob, db, colv(scene.triangles.v0), colv(scene.triangles.e1),
+            colv(scene.triangles.e2),
         )
+        tt = jnp.where(hit, tt, jnp.inf)
+        tri_t = jnp.min(tt, axis=0)
+        tri_obj = jnp.argmin(tt, axis=0).astype(jnp.int32) + n_spheres
+        take = tri_t < best_t
+        best_t = jnp.where(take, tri_t, best_t)
+        best_obj = jnp.where(take, tri_obj, best_obj)
 
     from ttrt.mesh.grid import GridHit
 
@@ -263,6 +277,7 @@ def many_sphere_scene(
         spheres=spheres,
         triangles=tris,
         grid=grid,
+        clusters=pack_clusters(spheres, tris),
         directional_lights=directional,
         point_lights=point,
         camera=Camera.default(width_px, height_px, dtype),
