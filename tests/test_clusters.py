@@ -9,7 +9,7 @@ import pytest
 
 import ttrt.mesh.scene as mesh_scene
 from ttrt.kernels.mesh_pallas import cluster_nearest
-from ttrt.mesh.clusters import (BLOCK, TILE_RAYS, live_clusters,
+from ttrt.mesh.clusters import (BLOCK, PAGE, TILE_RAYS, live_clusters,
                                 pack_clusters)
 from ttrt.mesh.scene import trace_ray_mesh_brute
 from ttrt.scene import HIT_SPHERE, HIT_TRIANGLE
@@ -17,6 +17,12 @@ from ttrt.vec import Vec3
 
 from test_mesh import _random_mesh_scene, _vec
 
+
+
+def _slots(comp) -> np.ndarray:
+    """Flatten a packed (KB, 8, 16) component to Morton slot order
+    (slot = k*128 + g*8 + s)."""
+    return np.asarray(comp).transpose(0, 2, 1).reshape(-1)
 
 def _rays(rng, n_rays):
     o = _vec(rng.uniform(-18, 18, (n_rays, 3)).astype(np.float32))
@@ -29,11 +35,11 @@ class TestPacking:
     def test_permutation_and_padding(self):
         scene = _random_mesh_scene(n=300)
         pack = scene.clusters
-        ids = np.asarray(pack.sph[4]).T.reshape(-1)  # (NB*8,) column-major
+        ids = _slots(pack.sph[4])
         real = ids[ids >= 0].astype(np.int64)
         assert sorted(real.tolist()) == list(range(300))
-        assert (ids < 0).sum() == (-300) % BLOCK
-        tid = np.asarray(pack.tri[9]).T.reshape(-1)
+        assert (ids < 0).sum() == (-300) % PAGE
+        tid = _slots(pack.tri[9])
         realt = tid[tid >= 0].astype(np.int64)
         m = scene.triangles.count
         assert sorted(realt.tolist()) == list(range(300, 300 + m))
@@ -42,12 +48,12 @@ class TestPacking:
         scene = _random_mesh_scene(n=300)
         pack = scene.clusters
         sph = np.asarray(pack.sph)  # (5, 8, NB)
-        ids = sph[4].T.reshape(-1)
-        cx = sph[0].T.reshape(-1)
-        cy = sph[1].T.reshape(-1)
-        cz = sph[2].T.reshape(-1)
+        ids = _slots(sph[4])
+        cx = _slots(sph[0])
+        cy = _slots(sph[1])
+        cz = _slots(sph[2])
         # recover radius from ccr2 = |C|^2 - r^2
-        r2 = cx * cx + cy * cy + cz * cz - sph[3].T.reshape(-1)
+        r2 = cx * cx + cy * cy + cz * cz - _slots(sph[3])
         r = np.sqrt(np.maximum(r2, 0.0))
         lo = np.asarray(pack.sph_lo)
         hi = np.asarray(pack.sph_hi)
@@ -62,46 +68,20 @@ class TestPacking:
             assert (cz[sl][m] + r[sl][m] <= hi[k, 2] + 1e-4).all()
 
 
-class TestBroadPhase:
-    def test_conservative_vs_brute(self, rng):
-        """Any actual nearest hit must come from a cluster the broad
-        phase kept live for that ray's tile."""
+class TestNearestParity:
+    def test_matches_brute_and_broad_phase_conservative(self, rng):
+        """ONE kernel compile (interpret mode is ~2 min of XLA:CPU compile
+        per structure on this box, so the parity and broad-phase checks
+        share it): the cluster path must agree with the dense tester, and
+        every winning object must come from a cluster the broad phase
+        kept live for that ray's tile (conservativeness — a false
+        negative would silently drop intersections)."""
         scene = _random_mesh_scene(n=300)
         pack = scene.clusters
-        n_rays = TILE_RAYS * 2
+        n_rays = TILE_RAYS + 197  # exercises the ray-padding path
         o, d = _rays(rng, n_rays)
-        live = np.asarray(jax.jit(
-            lambda o, d: live_clusters(pack, o, d, 2)
-        )(o, d))
         hit = jax.jit(
             lambda o, d: cluster_nearest(pack, o, d, interpret=True)
-        )(o, d)
-        obj = np.asarray(hit.obj)
-        # map winning original ids back to packed slots -> cluster index
-        ids = np.asarray(pack.sph[4]).T.reshape(-1)
-        tid = np.asarray(pack.tri[9]).T.reshape(-1)
-        slot_of = {int(v): s for s, v in enumerate(ids) if v >= 0}
-        tslot_of = {int(v): s for s, v in enumerate(tid) if v >= 0}
-        for ray in range(n_rays):
-            w = int(obj[ray])
-            if w < 0:
-                continue
-            tile = ray // TILE_RAYS
-            if w < 300:
-                k = slot_of[w] // BLOCK
-            else:
-                k = pack.kb_sph + tslot_of[w] // BLOCK
-            assert live[tile, k], (ray, w, k)
-
-
-class TestNearestParity:
-    @pytest.mark.parametrize("n_rays", [TILE_RAYS, TILE_RAYS + 197])
-    def test_matches_brute(self, rng, n_rays):
-        scene = _random_mesh_scene(n=300)
-        o, d = _rays(rng, n_rays)
-        hit = jax.jit(
-            lambda o, d: cluster_nearest(scene.clusters, o, d,
-                                         interpret=True)
         )(o, d)
         from ttrt.mesh.dense import dense_nearest
 
@@ -121,6 +101,31 @@ class TestNearestParity:
         assert same.mean() > 0.999, f"{(~same).sum()} winner mismatches"
         assert (np.isfinite(t) == np.isfinite(rt)).all()
         assert np.isfinite(t).any()
+
+        # broad-phase conservativeness vs the winners just computed
+        T = -(-n_rays // TILE_RAYS)
+        pad = T * TILE_RAYS - n_rays
+        op = Vec3(*(jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+                    for v in o))
+        dp = Vec3(*(jnp.concatenate([v, jnp.zeros(pad, v.dtype)])
+                    for v in d))
+        live = np.asarray(jax.jit(
+            lambda o, d: live_clusters(pack, o, d, T)
+        )(op, dp))
+        ids = _slots(pack.sph[4])
+        tid = _slots(pack.tri[9])
+        slot_of = {int(v): s for s, v in enumerate(ids) if v >= 0}
+        tslot_of = {int(v): s for s, v in enumerate(tid) if v >= 0}
+        for ray in range(n_rays):
+            w = int(obj[ray])
+            if w < 0:
+                continue
+            tile = ray // TILE_RAYS
+            if w < 300:
+                k = slot_of[w] // BLOCK
+            else:
+                k = pack.kb_sph + tslot_of[w] // BLOCK
+            assert live[tile, k], (ray, w, k)
 
     def test_end_to_end_render(self, rng):
         """Full integrator render through the cluster kernel (interpret)

@@ -1,23 +1,27 @@
 """Pallas TPU kernel for the many-object tier: cluster-culled nearest-hit.
 
 The demo-tier kernel (render_pallas) keeps its 6-sphere scene in SMEM
-scalars; 10k spheres need a different shape. This kernel streams NOTHING —
-the whole packed geometry (ttrt.mesh.clusters.ClusterPack, ~200 KB at 10k
-spheres) is VMEM-resident for the entire launch — and instead cuts WORK:
+scalars; 10k spheres need a different shape. This kernel cuts WORK instead
+of streaming smarter:
 
-  grid = (ray tiles, geometry clusters); the XLA broad phase
-  (clusters.live_clusters) precomputes a (tile, cluster) live matrix that
-  rides in as a scalar-prefetch operand, and every dead (tile, cluster)
-  step skips its ~3.5k-instruction pair-block body with a single pl.when.
-  Typical scenes cull 70-90% of pairs — the only way past the VPU
-  roofline that a dense exhaustive test pins (ttrt/mesh/dense.py).
+  grid = (ray tiles, geometry SUBCLUSTERS of 128 objects); the grid
+  pipeline DMAs each subcluster's (C, 8, 16) component block straight out
+  of the packed table (a BlockSpec index over subclusters keeps every
+  in-kernel slice static — Mosaic rejects dynamic lane offsets), and the
+  XLA broad phase (clusters.live_clusters) precomputes a
+  (tile, subcluster) live matrix that rides in as a scalar-prefetch
+  operand: every dead step skips its ~4k-instruction pair-block body with
+  one pl.when. Typical scenes cull 70-90% of the pair work — the only
+  way past the VPU roofline that a dense exhaustive test pins
+  (ttrt/mesh/dense.py).
 
-Pair-block shape: spheres ride SUBLANES, rays ride LANES. A cluster is 16
-consecutive (8, 1) component columns; each pairs against a (1, 128) ray
-row as a native (8, 128) vreg with zero transposes or gathers. Per-ray
-best (t, id) accumulates in VMEM scratch as 8 SUBLANE-CLASS PARTIALS per
-ray (no per-block lane reductions — the fold to a single winner happens
-once per tile, 3 halving steps, at the last grid step).
+Pair-block shape: spheres ride SUBLANES, rays ride LANES. A subcluster is
+16 (8, 1) component columns (static in-register slices of the loaded
+block); each pairs against a (1, 128) ray row as a native (8, 128) vreg
+with zero transposes or gathers. Per-ray best (t, id) accumulates in VMEM
+scratch as 8 SUBLANE-CLASS PARTIALS per ray (no per-block lane
+reductions — the fold to a single winner happens once per tile, 3 halving
+steps, at the last grid step).
 
 Reference lineage: ray_intersects_sphere (TerminalRayTracer.c:638-672)
 restructured exactly as ttrt.mesh.dense documents (shared 1/(2a),
@@ -40,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ttrt.config import constants
-from ttrt.mesh.clusters import (BLOCK, GROUPS, TILE_RAYS, ClusterPack,
+from ttrt.mesh.clusters import (GROUPS, TILE_RAYS, ClusterPack,
                                 live_clusters)
 from ttrt.mesh.grid import GridHit
 from ttrt.vec import Vec3
@@ -48,11 +52,16 @@ from ttrt.vec import Vec3
 _F32_MAX = float(np.finfo(np.float32).max)
 
 
+def _col(block_comp, c):
+    """Static (8, 1) column slice of a loaded (8, GROUPS) block."""
+    return jax.lax.slice(block_comp, (0, c), (8, c + 1))
+
+
 def _mesh_kernel(
     live_ref,  # scalar prefetch: (T, KB) int32
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, 8, 128) ray tiles
-    sph_ref,  # (5, 8, NB) VMEM-resident packed spheres (or None)
-    tri_ref,  # (10, 8, MB) VMEM-resident packed triangles (or None)
+    sph_ref,  # (5, 1, 8, 16) current sphere subcluster block (or None)
+    tri_ref,  # (10, 1, 8, 16) current triangle subcluster block (or None)
     out_t_ref, out_id_ref,  # (1, 8, 128) per-tile winners
     bp_t, bp_id,  # VMEM scratch (64, 128): 8 ray rows x 8 sublane classes
     *,
@@ -60,15 +69,12 @@ def _mesh_kernel(
     kb_tri: int,
 ):
     i = pl.program_id(0)
-    kb = pl.program_id(1)
-    KB = kb_sph + kb_tri
+    k = pl.program_id(1)  # subcluster index
 
-    @pl.when(kb == 0)
+    @pl.when(k == 0)
     def _init():
         bp_t[...] = jnp.full((64, 128), _F32_MAX, jnp.float32)
         bp_id[...] = jnp.full((64, 128), -1.0, jnp.float32)
-
-    live = live_ref[i, kb] != 0
 
     def ray_row(r):
         ox = ox_ref[0, r : r + 1, :]  # (1, 128)
@@ -79,9 +85,16 @@ def _mesh_kernel(
         dz = dz_ref[0, r : r + 1, :]
         return ox, oy, oz, dx, dy, dz
 
+    live = live_ref[i, k] != 0
+
     if kb_sph:
-        @pl.when(live & (kb < kb_sph))
+        @pl.when(live & (k < kb_sph))
         def _spheres():
+            cxp = sph_ref[0, 0]  # (8, 16) block components, one load each
+            cyp = sph_ref[1, 0]
+            czp = sph_ref[2, 0]
+            ccp = sph_ref[3, 0]
+            idp = sph_ref[4, 0]
             for r in range(8):
                 ox, oy, oz, dx, dy, dz = ray_row(r)
                 a = dx * dx + dy * dy + dz * dz
@@ -92,45 +105,37 @@ def _mesh_kernel(
                 bt = bp_t[r * 8 : (r + 1) * 8, :]
                 bid = bp_id[r * 8 : (r + 1) * 8, :]
                 for g in range(GROUPS):
-                    col = kb * GROUPS + g
-                    cx = sph_ref[0, :, pl.ds(col, 1)]  # (8, 1)
-                    cy = sph_ref[1, :, pl.ds(col, 1)]
-                    cz = sph_ref[2, :, pl.ds(col, 1)]
-                    ccr2 = sph_ref[3, :, pl.ds(col, 1)]
-                    sid = sph_ref[4, :, pl.ds(col, 1)]
+                    cx = _col(cxp, g)  # (8, 1)
+                    cy = _col(cyp, g)
+                    cz = _col(czp, g)
+                    ccr2 = _col(ccp, g)
+                    sid = _col(idp, g)
                     cd = cx * dx + cy * dy + cz * dz  # (8, 128)
                     co = cx * ox + cy * oy + cz * oz
                     b = 2.0 * (od - cd)
-                    c = oo - 2.0 * co + ccr2
-                    disc = b * b - four_a * c
-                    hit = (disc >= 0.0) & (b < 0.0) & (c > 0.0)
+                    cc = oo - 2.0 * co + ccr2
+                    disc = b * b - four_a * cc
+                    hit = (disc >= 0.0) & (b < 0.0) & (cc > 0.0)
                     t0 = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) * inv2a
                     take = hit & (t0 < bt)
                     bt = jnp.where(take, t0, bt)
-                    bid = jnp.where(take, jnp.broadcast_to(sid, take.shape),
-                                    bid)
+                    bid = jnp.where(
+                        take, jnp.broadcast_to(sid, take.shape), bid
+                    )
                 bp_t[r * 8 : (r + 1) * 8, :] = bt
                 bp_id[r * 8 : (r + 1) * 8, :] = bid
 
     if kb_tri:
-        @pl.when(live & (kb >= kb_sph))
+        @pl.when(live & (k >= kb_sph))
         def _tris():
+            comps = [tri_ref[c, 0] for c in range(10)]  # (8, 16) each
             for r in range(8):
                 ox, oy, oz, dx, dy, dz = ray_row(r)
                 bt = bp_t[r * 8 : (r + 1) * 8, :]
                 bid = bp_id[r * 8 : (r + 1) * 8, :]
                 for g in range(GROUPS):
-                    col = (kb - kb_sph) * GROUPS + g
-                    v0x = tri_ref[0, :, pl.ds(col, 1)]
-                    v0y = tri_ref[1, :, pl.ds(col, 1)]
-                    v0z = tri_ref[2, :, pl.ds(col, 1)]
-                    e1x = tri_ref[3, :, pl.ds(col, 1)]
-                    e1y = tri_ref[4, :, pl.ds(col, 1)]
-                    e1z = tri_ref[5, :, pl.ds(col, 1)]
-                    e2x = tri_ref[6, :, pl.ds(col, 1)]
-                    e2y = tri_ref[7, :, pl.ds(col, 1)]
-                    e2z = tri_ref[8, :, pl.ds(col, 1)]
-                    tid = tri_ref[9, :, pl.ds(col, 1)]
+                    (v0x, v0y, v0z, e1x, e1y, e1z,
+                     e2x, e2y, e2z, tid) = (_col(c, g) for c in comps)
                     # Moller-Trumbore, plane epsilons of c:680,685
                     px = dy * e2z - dz * e2y  # (8, 128)
                     py = dz * e2x - dx * e2z
@@ -153,12 +158,13 @@ def _mesh_kernel(
                     )
                     take = hit & (tt < bt)
                     bt = jnp.where(take, tt, bt)
-                    bid = jnp.where(take, jnp.broadcast_to(tid, take.shape),
-                                    bid)
+                    bid = jnp.where(
+                        take, jnp.broadcast_to(tid, take.shape), bid
+                    )
                 bp_t[r * 8 : (r + 1) * 8, :] = bt
                 bp_id[r * 8 : (r + 1) * 8, :] = bid
 
-    @pl.when(kb == KB - 1)
+    @pl.when(k == kb_sph + kb_tri - 1)
     def _fold():
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         out_t = jnp.full((8, 128), _F32_MAX, jnp.float32)
@@ -192,7 +198,6 @@ def _cluster_nearest_padded(
     interpret: bool = False,
 ):
     T = o6[0].shape[0]
-    KB = kb_sph + kb_tri
     ray_spec = pl.BlockSpec(
         (1, 8, 128), lambda i, k, live: (i, 0, 0),
         memory_space=pltpu.VMEM,
@@ -202,13 +207,15 @@ def _cluster_nearest_padded(
     if kb_sph:
         geom_in.append(pack.sph)
         geom_specs.append(pl.BlockSpec(
-            pack.sph.shape, lambda i, k, live: (0, 0, 0),
+            (5, 1, 8, GROUPS),
+            lambda i, k, live: (0, jnp.minimum(k, kb_sph - 1), 0, 0),
             memory_space=pltpu.VMEM,
         ))
     if kb_tri:
         geom_in.append(pack.tri)
         geom_specs.append(pl.BlockSpec(
-            pack.tri.shape, lambda i, k, live: (0, 0, 0),
+            (10, 1, 8, GROUPS),
+            lambda i, k, live: (0, jnp.maximum(k - kb_sph, 0), 0, 0),
             memory_space=pltpu.VMEM,
         ))
 
@@ -219,14 +226,12 @@ def _cluster_nearest_padded(
         n += 1 if kb_sph else 0
         tri = refs[n] if kb_tri else None
         n += 1 if kb_tri else 0
-        _mesh_kernel(
-            live_ref, *rays, sph, tri, *refs[n:],
-            kb_sph=kb_sph, kb_tri=kb_tri,
-        )
+        _mesh_kernel(live_ref, *rays, sph, tri, *refs[n:],
+                     kb_sph=kb_sph, kb_tri=kb_tri)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T, KB),
+        grid=(T, kb_sph + kb_tri),
         in_specs=[ray_spec] * 6 + geom_specs,
         out_specs=[
             pl.BlockSpec((1, 8, 128), lambda i, k, live: (i, 0, 0),

@@ -39,8 +39,10 @@ from ttrt.mesh.triangles import Triangles
 from ttrt.scene import Spheres
 from ttrt.vec import Vec3
 
-BLOCK = 128  # spheres/triangles per cluster == VPU lanes
+BLOCK = 128  # spheres/triangles per cluster (culling granularity)
 GROUPS = BLOCK // 8  # 8-sublane pair groups per cluster
+PAGE = 1024  # objects per kernel DMA page (= 128 table columns); Mosaic
+SUBS = PAGE // BLOCK  # clusters per page           # needs lane-aligned loads
 TILE_RAYS = 1024  # rays per kernel tile: (8, 128)
 
 # padding sphere: center 0 / ccr2 huge => disc = b^2 - 4*a*(oo + 1e30) < 0
@@ -51,15 +53,18 @@ _PAD_CCR2 = 1.0e30
 class ClusterPack(NamedTuple):
     """Device-resident packed geometry (all float32).
 
-    ``sph``: (5, 8, NB) where [c, s, b] is component c of sphere ``8*b+s``
-    in Morton order — component rows are cx cy cz ccr2 id with
-    ccr2 = |C|^2 - r^2 precomputed (the narrow kernel's quadratic
-    ``c`` term needs only ccr2, not the radius) and id the ORIGINAL
-    sphere index as f32 (-1 on padding). The (8, NB) layout puts 8
-    consecutive spheres on sublanes so the kernel reads a (8, 1)
-    column and broadcasts it against a (1, 128) ray row — the pair
-    block is a native (8, 128) vreg with zero transposes.
-    ``tri``: (10, 8, MB) rows v0xyz e1xyz e2xyz id, same layout.
+    ``sph``: (5, KB, 8, 16) where [c, k, s, g] is component c of sphere
+    ``k*128 + g*8 + s`` in Morton order — component rows are cx cy cz
+    ccr2 id with ccr2 = |C|^2 - r^2 precomputed (the narrow kernel's
+    quadratic ``c`` term needs only ccr2, not the radius) and id the
+    ORIGINAL sphere index as f32 (-1 on padding). The trailing (8, 16)
+    page puts 8 consecutive spheres on sublanes so the kernel reads a
+    (8, 1) column and broadcasts it against a (1, 128) ray row — the
+    pair block is a native (8, 128) vreg with zero transposes — while
+    the subcluster axis k is a BlockSpec grid index (Mosaic wants block
+    minor dims equal to the array's, so the 16-group page IS the minor
+    dim).
+    ``tri``: (10, KB, 8, 16) rows v0xyz e1xyz e2xyz id, same layout.
     ``sph_lo/hi``: (KB_s, 3) radius-inflated cluster AABBs.
     ``tri_lo/hi``: (KB_t, 3) cluster AABBs over all three vertices.
     """
@@ -67,9 +72,11 @@ class ClusterPack(NamedTuple):
     sph: jnp.ndarray
     sph_lo: jnp.ndarray
     sph_hi: jnp.ndarray
+    sph_valid: jnp.ndarray  # (KB_s,) 1 where the cluster has real members
     tri: jnp.ndarray
     tri_lo: jnp.ndarray
     tri_hi: jnp.ndarray
+    tri_valid: jnp.ndarray
 
     @property
     def kb_sph(self) -> int:
@@ -102,7 +109,7 @@ def _morton_order(points: np.ndarray) -> np.ndarray:
 
 
 def _pad_cols(a: np.ndarray, fill: float) -> np.ndarray:
-    pad = (-a.shape[0]) % BLOCK
+    pad = (-a.shape[0]) % PAGE  # page-aligned so kernel DMA blocks are full
     if pad:
         a = np.concatenate([a, np.full((pad,), fill, a.dtype)])
     return a
@@ -115,10 +122,14 @@ def pack_clusters(
     AABBs, lay out component-major (8, NB) tables."""
     f32 = np.float32
 
-    def table(rows):  # list of (n_pad,) -> (len(rows), 8, n_pad // 8)
+    def table(rows):  # list of (n_pad,) -> (C, n_pad//128, 8, 16)
         return jnp.asarray(
             np.stack(
-                [r.reshape(-1, 8).T for r in rows], axis=0
+                [
+                    r.reshape(-1, GROUPS, 8).transpose(0, 2, 1)
+                    for r in rows
+                ],
+                axis=0,
             ),
             jnp.float32,
         )
@@ -143,18 +154,27 @@ def pack_clusters(
         ]
         sph = table(cols)
         kb = cols[0].shape[0] // BLOCK
-        # per-cluster AABB over the REAL members only (padding is inert)
+        # per-cluster AABB over the REAL members only (padding is inert);
+        # fully-padded clusters get an empty box + valid=0 (the broad
+        # phase masks them out — an inverted inf box would otherwise pass
+        # the slab test).
         lo = np.full((kb, 3), np.inf, f32)
         hi = np.full((kb, 3), -np.inf, f32)
+        valid = np.zeros((kb,), np.int32)
         for k in range(kb):
-            sl = slice(k * BLOCK, min((k + 1) * BLOCK, c.shape[0]))
-            lo[k] = lo_pts[sl].min(axis=0)
-            hi[k] = hi_pts[sl].max(axis=0)
+            end = min((k + 1) * BLOCK, c.shape[0])
+            if end > k * BLOCK:
+                sl = slice(k * BLOCK, end)
+                lo[k] = lo_pts[sl].min(axis=0)
+                hi[k] = hi_pts[sl].max(axis=0)
+                valid[k] = 1
         sph_lo, sph_hi = jnp.asarray(lo), jnp.asarray(hi)
+        sph_valid = jnp.asarray(valid)
     else:
-        sph = jnp.zeros((5, 8, 0), jnp.float32)
+        sph = jnp.zeros((5, 0, 8, GROUPS), jnp.float32)
         sph_lo = jnp.zeros((0, 3), jnp.float32)
         sph_hi = jnp.zeros((0, 3), jnp.float32)
+        sph_valid = jnp.zeros((0,), jnp.int32)
 
     n_spheres = spheres.count if spheres is not None else 0
     if triangles is not None and triangles.count:
@@ -184,17 +204,24 @@ def pack_clusters(
         pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (m, 3 verts, 3)
         lo = np.full((kb, 3), np.inf, f32)
         hi = np.full((kb, 3), -np.inf, f32)
+        valid = np.zeros((kb,), np.int32)
         for k in range(kb):
-            sl = slice(k * BLOCK, min((k + 1) * BLOCK, v0.shape[0]))
-            lo[k] = pts[sl].min(axis=(0, 1))
-            hi[k] = pts[sl].max(axis=(0, 1))
+            end = min((k + 1) * BLOCK, v0.shape[0])
+            if end > k * BLOCK:
+                sl = slice(k * BLOCK, end)
+                lo[k] = pts[sl].min(axis=(0, 1))
+                hi[k] = pts[sl].max(axis=(0, 1))
+                valid[k] = 1
         tri_lo, tri_hi = jnp.asarray(lo), jnp.asarray(hi)
+        tri_valid = jnp.asarray(valid)
     else:
-        tri = jnp.zeros((10, 8, 0), jnp.float32)
+        tri = jnp.zeros((10, 0, 8, GROUPS), jnp.float32)
         tri_lo = jnp.zeros((0, 3), jnp.float32)
         tri_hi = jnp.zeros((0, 3), jnp.float32)
+        tri_valid = jnp.zeros((0,), jnp.int32)
 
-    return ClusterPack(sph, sph_lo, sph_hi, tri, tri_lo, tri_hi)
+    return ClusterPack(sph, sph_lo, sph_hi, sph_valid,
+                       tri, tri_lo, tri_hi, tri_valid)
 
 
 def live_clusters(
@@ -228,4 +255,5 @@ def live_clusters(
 
     hit = tmax >= jnp.maximum(tmin, 0.0)  # (R, K)
     live = jnp.any(hit.reshape(n_tiles, TILE_RAYS, -1), axis=1)
-    return live.astype(jnp.int32)
+    valid = jnp.concatenate([pack.sph_valid, pack.tri_valid]) != 0
+    return (live & valid[None, :]).astype(jnp.int32)
