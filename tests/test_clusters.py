@@ -121,11 +121,12 @@ class TestNearestParity:
             if w < 0:
                 continue
             tile = ray // TILE_RAYS
+            row = (ray % TILE_RAYS) // 128  # live is row-granular (T,8,K)
             if w < 300:
                 k = slot_of[w] // BLOCK
             else:
                 k = pack.kb_sph + tslot_of[w] // BLOCK
-            assert live[tile, k], (ray, w, k)
+            assert live[tile, row, k], (ray, row, w, k)
 
     def test_end_to_end_render(self, rng):
         """Full integrator render through the cluster kernel (interpret)

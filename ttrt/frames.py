@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ttrt.config import constants
@@ -59,8 +60,11 @@ class Frame(NamedTuple):
 
 def rotate_basis(basis: jnp.ndarray, rotation: jnp.ndarray) -> jnp.ndarray:
     """``result[i][j] = basis_row_i . rotation_row_j`` = ``B @ R.T``
-    (TerminalRayTracer.c:557-573)."""
-    return basis @ rotation.T
+    (TerminalRayTracer.c:557-573). precision=HIGHEST: on TPU the default
+    may run f32 matmuls as one bf16 MXU pass; the camera basis feeds every
+    primary ray, so it must carry full f32 (the 3x3 cost is nil)."""
+    return jnp.matmul(basis, rotation.T,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def _rx(angle, dtype):
@@ -119,10 +123,13 @@ def rotate_basis_z(basis: jnp.ndarray, angle) -> jnp.ndarray:
 
 def transform_frame(frame: Frame, transform: Frame) -> Frame:
     """Row-vector homogeneous composition (TerminalRayTracer.c:605-624):
-    ``basis' = F @ T``; ``origin' = origin @ T + T.origin``."""
+    ``basis' = F @ T``; ``origin' = origin @ T + T.origin``. Full-f32
+    matmul precision for the same reason as rotate_basis."""
+    hp = jax.lax.Precision.HIGHEST
     return Frame(
-        basis=frame.basis @ transform.basis,
-        origin=frame.origin @ transform.basis + transform.origin,
+        basis=jnp.matmul(frame.basis, transform.basis, precision=hp),
+        origin=jnp.matmul(frame.origin, transform.basis, precision=hp)
+        + transform.origin,
     )
 
 

@@ -9,9 +9,11 @@ of streaming smarter:
   of the packed table (a BlockSpec index over subclusters keeps every
   in-kernel slice static — Mosaic rejects dynamic lane offsets), and the
   XLA broad phase (clusters.live_clusters) precomputes a
-  (tile, subcluster) live matrix that rides in as a scalar-prefetch
-  operand: every dead step skips its ~4k-instruction pair-block body with
-  one pl.when. Typical scenes cull 70-90% of the pair work — the only
+  (tile, ray row, subcluster) live matrix that rides in as a
+  scalar-prefetch operand: each of a step's eight 128-ray rows skips its
+  ~500-instruction pair-block body with its own pl.when (row granularity
+  roughly halves the surviving work vs whole-tile culling on coherent
+  camera rays). Typical scenes cull 70-90% of the pair work — the only
   way past the VPU roofline that a dense exhaustive test pins
   (ttrt/mesh/dense.py).
 
@@ -58,23 +60,19 @@ def _col(block_comp, c):
 
 
 def _mesh_kernel(
-    live_ref,  # scalar prefetch: (T, KB) int32
+    live_ref,  # scalar prefetch: (T, 8, KB) int32 (row-granular)
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, 8, 128) ray tiles
     sph_ref,  # (5, 1, 8, 16) current sphere subcluster block (or None)
     tri_ref,  # (10, 1, 8, 16) current triangle subcluster block (or None)
     out_t_ref, out_id_ref,  # (1, 8, 128) per-tile winners
     bp_t, bp_id,  # VMEM scratch (64, 128): 8 ray rows x 8 sublane classes
+    inv_s,  # VMEM scratch (32, 128): per-row od, oo, 4a, inv2a
     *,
     kb_sph: int,
     kb_tri: int,
 ):
     i = pl.program_id(0)
     k = pl.program_id(1)  # subcluster index
-
-    @pl.when(k == 0)
-    def _init():
-        bp_t[...] = jnp.full((64, 128), _F32_MAX, jnp.float32)
-        bp_id[...] = jnp.full((64, 128), -1.0, jnp.float32)
 
     def ray_row(r):
         ox = ox_ref[0, r : r + 1, :]  # (1, 128)
@@ -85,23 +83,34 @@ def _mesh_kernel(
         dz = dz_ref[0, r : r + 1, :]
         return ox, oy, oz, dx, dy, dz
 
-    live = live_ref[i, k] != 0
+    @pl.when(k == 0)
+    def _init():
+        bp_t[...] = jnp.full((64, 128), _F32_MAX, jnp.float32)
+        bp_id[...] = jnp.full((64, 128), -1.0, jnp.float32)
+        # hoist the per-ray quadratic invariants ONCE per tile (saves
+        # ~20 instructions + a divide per live (row, subcluster) step)
+        for r in range(8):
+            ox, oy, oz, dx, dy, dz = ray_row(r)
+            a = dx * dx + dy * dy + dz * dz
+            inv_s[r * 4 + 0 : r * 4 + 1, :] = ox * dx + oy * dy + oz * dz
+            inv_s[r * 4 + 1 : r * 4 + 2, :] = ox * ox + oy * oy + oz * oz
+            inv_s[r * 4 + 2 : r * 4 + 3, :] = 4.0 * a
+            inv_s[r * 4 + 3 : r * 4 + 4, :] = 0.5 / a
 
     if kb_sph:
-        @pl.when(live & (k < kb_sph))
-        def _spheres():
-            cxp = sph_ref[0, 0]  # (8, 16) block components, one load each
-            cyp = sph_ref[1, 0]
-            czp = sph_ref[2, 0]
-            ccp = sph_ref[3, 0]
-            idp = sph_ref[4, 0]
-            for r in range(8):
+        for r in range(8):
+            @pl.when((live_ref[i, r, k] != 0) & (k < kb_sph))
+            def _sphere_row(r=r):
+                cxp = sph_ref[0, 0]  # (8, 16) block comps, one load each
+                cyp = sph_ref[1, 0]
+                czp = sph_ref[2, 0]
+                ccp = sph_ref[3, 0]
+                idp = sph_ref[4, 0]
                 ox, oy, oz, dx, dy, dz = ray_row(r)
-                a = dx * dx + dy * dy + dz * dz
-                od = ox * dx + oy * dy + oz * dz
-                oo = ox * ox + oy * oy + oz * oz
-                four_a = 4.0 * a
-                inv2a = 0.5 / a
+                od = inv_s[r * 4 + 0 : r * 4 + 1, :]
+                oo = inv_s[r * 4 + 1 : r * 4 + 2, :]
+                four_a = inv_s[r * 4 + 2 : r * 4 + 3, :]
+                inv2a = inv_s[r * 4 + 3 : r * 4 + 4, :]
                 bt = bp_t[r * 8 : (r + 1) * 8, :]
                 bid = bp_id[r * 8 : (r + 1) * 8, :]
                 for g in range(GROUPS):
@@ -126,10 +135,10 @@ def _mesh_kernel(
                 bp_id[r * 8 : (r + 1) * 8, :] = bid
 
     if kb_tri:
-        @pl.when(live & (k >= kb_sph))
-        def _tris():
-            comps = [tri_ref[c, 0] for c in range(10)]  # (8, 16) each
-            for r in range(8):
+        for r in range(8):
+            @pl.when((live_ref[i, r, k] != 0) & (k >= kb_sph))
+            def _tri_row(r=r):
+                comps = [tri_ref[c, 0] for c in range(10)]  # (8, 16) each
                 ox, oy, oz, dx, dy, dz = ray_row(r)
                 bt = bp_t[r * 8 : (r + 1) * 8, :]
                 bid = bp_id[r * 8 : (r + 1) * 8, :]
@@ -191,7 +200,7 @@ def _mesh_kernel(
 )
 def _cluster_nearest_padded(
     pack: ClusterPack,
-    live: jnp.ndarray,  # (T, KB) int32
+    live: jnp.ndarray,  # (T, 8, KB) int32
     o6,  # 6 arrays (T, 8, 128) f32
     kb_sph: int,
     kb_tri: int,
@@ -242,6 +251,7 @@ def _cluster_nearest_padded(
         scratch_shapes=[
             pltpu.VMEM((64, 128), jnp.float32),
             pltpu.VMEM((64, 128), jnp.float32),
+            pltpu.VMEM((32, 128), jnp.float32),
         ],
     )
     out_t, out_id = pl.pallas_call(

@@ -227,11 +227,14 @@ def pack_clusters(
 def live_clusters(
     pack: ClusterPack, o: Vec3, d: Vec3, n_tiles: int
 ) -> jnp.ndarray:
-    """Conservative XLA broad phase: (T, KB_s + KB_t) int32 — 1 when ANY
-    ray of tile t may hit cluster k's AABB (robust slab test; an axis with
-    |d| ~ 0 passes iff the origin lies inside that slab, so no false
-    negatives from inf*0 NaNs). ``o``/``d`` components are the PADDED
-    (T*1024,) flat arrays."""
+    """Conservative XLA broad phase: (T, 8, KB_s + KB_t) int32 — 1 when
+    ANY ray of ROW r (128 rays) of tile t may hit cluster k's AABB
+    (robust slab test; an axis with |d| ~ 0 passes iff the origin lies
+    inside that slab, so no false negatives from inf*0 NaNs). Row
+    granularity matters: the kernel predicates each 128-ray row
+    independently, and coherent ray batches (half an image row at the
+    config-4 resolution) cull far better at 128 rays than at 1024.
+    ``o``/``d`` components are the PADDED (T*1024,) flat arrays."""
     lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)  # (K, 3)
     hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
     eps = jnp.float32(1e-6)
@@ -254,6 +257,6 @@ def live_clusters(
         tmax = jnp.minimum(tmax, far)
 
     hit = tmax >= jnp.maximum(tmin, 0.0)  # (R, K)
-    live = jnp.any(hit.reshape(n_tiles, TILE_RAYS, -1), axis=1)
+    live = jnp.any(hit.reshape(n_tiles, 8, TILE_RAYS // 8, -1), axis=2)
     valid = jnp.concatenate([pack.sph_valid, pack.tri_valid]) != 0
-    return (live & valid[None, :]).astype(jnp.int32)
+    return (live & valid[None, None, :]).astype(jnp.int32)

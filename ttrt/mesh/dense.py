@@ -88,8 +88,15 @@ def dense_nearest(
         def body(carry, xs):
             bt, bo, base = carry
             Cc, ccr2, vld = xs
-            CD = jnp.dot(Cc, D, preferred_element_type=dtype)  # (CH,R)
-            CO = jnp.dot(Cc, O, preferred_element_type=dtype)
+            # precision=HIGHEST is CORRECTNESS-CRITICAL on TPU: the default
+            # lowers f32 dots to one bf16 MXU pass (~4e-3 relative noise),
+            # which flips the sign of narrow-hit discriminants for small
+            # spheres — measured ~6% FALSE HITS and ~45% wrong winners at
+            # the 10k-sphere tier vs the exact VPU-f32 cluster kernel.
+            hp = jax.lax.Precision.HIGHEST
+            CD = jnp.dot(Cc, D, preferred_element_type=dtype,
+                         precision=hp)  # (CH,R)
+            CO = jnp.dot(Cc, O, preferred_element_type=dtype, precision=hp)
             b = 2.0 * (od[None, :] - CD)
             c = oo[None, :] - 2.0 * CO + ccr2[:, None]
             disc = b * b - (4.0 * a)[None, :] * c
