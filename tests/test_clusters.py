@@ -25,6 +25,9 @@ def _slots(comp) -> np.ndarray:
     return np.asarray(comp).transpose(0, 2, 1).reshape(-1)
 
 def _rays(rng, n_rays):
+    # NOTE: callers pass a LOCAL rng (not the session fixture) so this
+    # file does not shift the shared draw sequence other test files'
+    # expectations are anchored to.
     o = _vec(rng.uniform(-18, 18, (n_rays, 3)).astype(np.float32))
     o = Vec3(o.x, jnp.abs(o.y) + 0.5, o.z)
     d = _vec(rng.normal(size=(n_rays, 3)).astype(np.float32)).normalize()
@@ -69,7 +72,7 @@ class TestPacking:
 
 
 class TestNearestParity:
-    def test_matches_brute_and_broad_phase_conservative(self, rng):
+    def test_matches_brute_and_broad_phase_conservative(self):
         """ONE kernel compile (interpret mode is ~2 min of XLA:CPU compile
         per structure on this box, so the parity and broad-phase checks
         share it): the cluster path must agree with the dense tester, and
@@ -79,7 +82,7 @@ class TestNearestParity:
         scene = _random_mesh_scene(n=300)
         pack = scene.clusters
         n_rays = TILE_RAYS + 197  # exercises the ray-padding path
-        o, d = _rays(rng, n_rays)
+        o, d = _rays(np.random.default_rng(77), n_rays)
         hit = jax.jit(
             lambda o, d: cluster_nearest(pack, o, d, interpret=True)
         )(o, d)
@@ -128,7 +131,7 @@ class TestNearestParity:
                 k = pack.kb_sph + tslot_of[w] // BLOCK
             assert live[tile, row, k], (ray, row, w, k)
 
-    def test_end_to_end_render(self, rng):
+    def test_end_to_end_render(self):
         """Full integrator render through the cluster kernel (interpret)
         vs the normal CPU grid path."""
         from ttrt.config import RenderConfig

@@ -103,6 +103,15 @@ class TestGridTraversal:
         # pull origins up so many rays see floor + spheres
         o = Vec3(o.x, jnp.abs(o.y) + 0.5, o.z)
         d_raw = rng.normal(size=(n_rays, 3)).astype(np.float32)
+        # random rays hit small spheres only by luck (a handful in 512);
+        # AIM the last 64 at random sphere centers so the sphere branch is
+        # genuinely exercised regardless of rng draw order
+        centers = np.stack(
+            [np.asarray(v, np.float64) for v in scene.spheres.center], -1
+        )
+        pick = rng.integers(0, centers.shape[0], 64)
+        on = np.stack([np.asarray(v) for v in o], -1)
+        d_raw[-64:] = (centers[pick] - on[-64:]).astype(np.float32)
         d = _vec(d_raw).normalize()
 
         hit_g = jax.jit(

@@ -57,21 +57,38 @@ def build_grid(
     triangles: Optional[Triangles],
     resolution: Optional[Tuple[int, int, int]] = None,
     dtype=jnp.float32,
+    *,
+    np_spheres: Optional[Tuple[np.ndarray, np.ndarray]] = None,
+    np_tris: Optional[dict] = None,
 ) -> UniformGrid:
     """Host-side grid build: rasterize every object's AABB into the cell
     table. Resolution defaults to ~cbrt(n_objects) cells per axis scaled by
     the scene AABB aspect ratio (the classic grid heuristic), clamped to
-    [1, 64] per axis. Capacity K grows to the fullest cell."""
+    [1, 64] per axis. Capacity K grows to the fullest cell.
+
+    ``np_spheres`` ((n,3) centers, (n,) radii) / ``np_tris``
+    (Triangles.create_np dict) supply the geometry as host arrays —
+    REQUIRED for fast builds on tunnel backends where each device->host
+    fetch of the device leaves can cost ~90 s."""
     lo_list, hi_list = [], []
     n_spheres = 0
     if spheres is not None and spheres.count:
         n_spheres = spheres.count
-        c = np.stack([np.asarray(v, np.float64) for v in spheres.center], -1)
-        r = np.asarray(spheres.radius, np.float64)[:, None]
+        if np_spheres is not None:
+            c = np.asarray(np_spheres[0], np.float64)
+            r = np.asarray(np_spheres[1], np.float64)[:, None]
+        else:
+            c = np.stack(
+                [np.asarray(v, np.float64) for v in spheres.center], -1
+            )
+            r = np.asarray(spheres.radius, np.float64)[:, None]
         lo_list.append(c - r)
         hi_list.append(c + r)
     if triangles is not None and triangles.count:
-        tlo, thi = triangles.aabbs()
+        if np_tris is not None:
+            tlo, thi = triangles.aabbs_np(np_tris)
+        else:
+            tlo, thi = triangles.aabbs()
         lo_list.append(tlo)
         hi_list.append(thi)
     if not lo_list:

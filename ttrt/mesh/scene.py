@@ -19,7 +19,8 @@ from ttrt.config import constants
 from ttrt.mesh.clusters import ClusterPack as ClusterPackT
 from ttrt.mesh.clusters import pack_clusters
 from ttrt.mesh.grid import UniformGrid, build_grid, traverse_grid
-from ttrt.mesh.triangles import Triangles, floor_mesh, ray_triangle
+from ttrt.mesh.triangles import (Triangles, floor_mesh, floor_mesh_np,
+                                 ray_triangle)
 from ttrt.render import dispatch
 from ttrt.render.intersect import Hit, ray_sphere_t0
 from ttrt.render.skybox import sample_skybox
@@ -260,9 +261,13 @@ def many_sphere_scene(
             ),
         ),
     )
-    tris = floor_mesh(y=-2.0, half_extent=20.0, cells=floor_cells,
-                      dtype=dtype)
-    grid = build_grid(spheres, tris, resolution=grid_resolution, dtype=dtype)
+    tris_np = floor_mesh_np(y=-2.0, half_extent=20.0, cells=floor_cells)
+    tris = Triangles.from_np(tris_np, dtype)
+    # thread the HOST arrays into the grid/cluster builds: fetching the
+    # device leaves back costs up to ~90 s/buffer on tunnel backends
+    grid = build_grid(spheres, tris, resolution=grid_resolution,
+                      dtype=dtype, np_spheres=(centers, radii),
+                      np_tris=tris_np)
 
     directional = DirectionalLights(
         direction=Vec3.from_array(jnp.asarray([[-1.0, -1.0, -1.0]], dtype)),
@@ -277,7 +282,9 @@ def many_sphere_scene(
         spheres=spheres,
         triangles=tris,
         grid=grid,
-        clusters=pack_clusters(spheres, tris),
+        clusters=pack_clusters(spheres, tris,
+                               np_spheres=(centers, radii),
+                               np_tris=tris_np),
         directional_lights=directional,
         point_lights=point,
         camera=Camera.default(width_px, height_px, dtype),

@@ -37,9 +37,12 @@ class Triangles(NamedTuple):
         return self.v0.x.shape[-1]
 
     @staticmethod
-    def create(vertices, colors, reflectivity, specularity=100.0,
-               dtype=jnp.float32) -> "Triangles":
-        """vertices: (M, 3, 3) — M triangles x 3 corners x xyz."""
+    def create_np(vertices, colors, reflectivity, specularity=100.0):
+        """Host-side precompute: vertices (M, 3, 3) -> dict of float64
+        arrays (v0/e1/e2/normal (M,3), color (M,3), refl/spec (M,)).
+        Kept separate from device upload so grid/cluster builders can
+        consume the NumPy data directly — a device->host fetch costs up
+        to ~90 s per buffer on remote-tunnel backends."""
         v = np.asarray(vertices, np.float64)
         v0, v1, v2 = v[:, 0], v[:, 1], v[:, 2]
         e1 = v1 - v0
@@ -47,37 +50,60 @@ class Triangles(NamedTuple):
         n = np.cross(e1, e2)
         norm = np.linalg.norm(n, axis=-1, keepdims=True)
         n = n / np.where(norm == 0.0, 1.0, norm)
+        m = v.shape[0]
+        return {
+            "v0": v0, "e1": e1, "e2": e2, "normal": n,
+            "color": np.broadcast_to(np.asarray(colors, np.float64),
+                                     (m, 3)),
+            "reflectivity": np.broadcast_to(np.asarray(reflectivity), m),
+            "specularity": np.broadcast_to(np.asarray(specularity), m),
+        }
 
-        # slice in NumPy; each leaf is ONE host->device transfer (eager
-        # device ops are extremely slow on remote-compile backends)
+    @staticmethod
+    def from_np(h, dtype=jnp.float32) -> "Triangles":
+        """Upload a create_np() dict (one transfer per leaf)."""
         def vec(arr):
             return Vec3(*(jnp.asarray(arr[:, i], dtype) for i in range(3)))
 
-        m = v.shape[0]
-        cols = np.broadcast_to(
-            np.asarray(colors, np.float64), (m, 3)
-        )
         return Triangles(
-            v0=vec(v0),
-            e1=vec(e1),
-            e2=vec(e2),
-            normal=vec(n),
+            v0=vec(h["v0"]),
+            e1=vec(h["e1"]),
+            e2=vec(h["e2"]),
+            normal=vec(h["normal"]),
             material=Materials(
-                color=vec(cols),
-                reflectivity=jnp.asarray(
-                    np.broadcast_to(np.asarray(reflectivity), m), dtype
-                ),
-                specularity=jnp.asarray(
-                    np.broadcast_to(np.asarray(specularity), m), dtype
-                ),
+                color=vec(h["color"]),
+                reflectivity=jnp.asarray(h["reflectivity"], dtype),
+                specularity=jnp.asarray(h["specularity"], dtype),
             ),
         )
 
+    @staticmethod
+    def create(vertices, colors, reflectivity, specularity=100.0,
+               dtype=jnp.float32) -> "Triangles":
+        """vertices: (M, 3, 3) — M triangles x 3 corners x xyz."""
+        return Triangles.from_np(
+            Triangles.create_np(vertices, colors, reflectivity,
+                                specularity),
+            dtype,
+        )
+
     def aabbs(self) -> Tuple[np.ndarray, np.ndarray]:
-        """Host-side per-triangle AABBs for the grid build."""
+        """Host-side per-triangle AABBs for the grid build. NOTE: reads
+        the device arrays back (slow on tunnel backends) — builders that
+        have the NumPy data should use aabbs_np instead."""
         v0 = np.stack([np.asarray(c) for c in self.v0], -1)
         v1 = v0 + np.stack([np.asarray(c) for c in self.e1], -1)
         v2 = v0 + np.stack([np.asarray(c) for c in self.e2], -1)
+        return Triangles._aabbs_from(v0, v1, v2)
+
+    @staticmethod
+    def aabbs_np(h) -> Tuple[np.ndarray, np.ndarray]:
+        """AABBs straight from a create_np() dict (no device fetch)."""
+        v0 = h["v0"]
+        return Triangles._aabbs_from(v0, v0 + h["e1"], v0 + h["e2"])
+
+    @staticmethod
+    def _aabbs_from(v0, v1, v2):
         lo = np.minimum(np.minimum(v0, v1), v2)
         hi = np.maximum(np.maximum(v0, v1), v2)
         return lo, hi
@@ -106,19 +132,15 @@ def ray_triangle(o: Vec3, d: Vec3, v0: Vec3, e1: Vec3, e2: Vec3):
     return t, hit
 
 
-def floor_mesh(
+def floor_mesh_np(
     y: float = -2.0,
     half_extent: float = 20.0,
     cells: int = 16,
     even_color=(1.0, 1.0, 1.0),
     odd_color=(1.0, 0.0, 0.0),
     reflectivity: float = 0.2,
-    dtype=jnp.float32,
-) -> Triangles:
-    """Checkerboard floor as a triangle mesh: cells x cells quads, 2 CCW-up
-    triangles each, colored by the same floor(x)+floor(z) parity rule as the
-    reference's infinite plane (TerminalRayTracer.c:850) evaluated at the
-    cell corner."""
+) -> dict:
+    """Host-side floor mesh data (see floor_mesh)."""
     xs = np.linspace(-half_extent, half_extent, cells + 1)
     zs = np.linspace(-half_extent, half_extent, cells + 1)
     tris = []
@@ -138,6 +160,26 @@ def floor_mesh(
             col = odd_color if parity else even_color
             cols.append(col)
             cols.append(col)
-    return Triangles.create(
-        np.asarray(tris), np.asarray(cols), reflectivity, 100.0, dtype
+    return Triangles.create_np(
+        np.asarray(tris), np.asarray(cols), reflectivity, 100.0
+    )
+
+
+def floor_mesh(
+    y: float = -2.0,
+    half_extent: float = 20.0,
+    cells: int = 16,
+    even_color=(1.0, 1.0, 1.0),
+    odd_color=(1.0, 0.0, 0.0),
+    reflectivity: float = 0.2,
+    dtype=jnp.float32,
+) -> Triangles:
+    """Checkerboard floor as a triangle mesh: cells x cells quads, 2 CCW-up
+    triangles each, colored by the same floor(x)+floor(z) parity rule as the
+    reference's infinite plane (TerminalRayTracer.c:850) evaluated at the
+    cell corner."""
+    return Triangles.from_np(
+        floor_mesh_np(y, half_extent, cells, even_color, odd_color,
+                      reflectivity),
+        dtype,
     )
