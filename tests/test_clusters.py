@@ -83,8 +83,11 @@ class TestNearestParity:
         pack = scene.clusters
         n_rays = TILE_RAYS + 197  # exercises the ray-padding path
         o, d = _rays(np.random.default_rng(77), n_rays)
+        # tile_rows=8 halves the kernel body: the production 16-row body
+        # takes XLA:CPU ~10 min to compile in interpret mode on this box
         hit = jax.jit(
-            lambda o, d: cluster_nearest(pack, o, d, interpret=True)
+            lambda o, d: cluster_nearest(pack, o, d, interpret=True,
+                                         tile_rows=8, subs_per_page=2)
         )(o, d)
         from ttrt.mesh.dense import dense_nearest
 

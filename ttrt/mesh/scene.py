@@ -101,7 +101,14 @@ def trace_ray_mesh(
     elif scene.clusters is not None and (not on_cpu or _FORCE_CLUSTERS):
         from ttrt.kernels.mesh_pallas import cluster_nearest
 
-        gh = cluster_nearest(scene.clusters, o, d, interpret=on_cpu)
+        if on_cpu:
+            # interpret mode with a small body: the production
+            # 16-row x 8-subcluster body takes XLA:CPU many minutes to
+            # compile on a 1-vCPU box; semantics are identical
+            gh = cluster_nearest(scene.clusters, o, d, interpret=True,
+                                 tile_rows=8, subs_per_page=2)
+        else:
+            gh = cluster_nearest(scene.clusters, o, d)
     else:
         from ttrt.mesh.dense import dense_nearest
 
