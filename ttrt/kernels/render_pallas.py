@@ -580,7 +580,11 @@ def _render_kernel_acc(
     pix_r_ref[0] = pix_r_ref[0] + cr
     pix_g_ref[0] = pix_g_ref[0] + cg
     pix_b_ref[0] = pix_b_ref[0] + cb
-    count_ref[0] = count_ref[0] + count
+    # this layout SUMS counters over the sample grid axis, so repack the
+    # 5|5-bit per-sample fields into 16|16 (spp * bounce_limit < 2^16)
+    count_ref[0] = count_ref[0] + (
+        (count & 0x1F) | (((count >> 5) & 0x1F) << 16)
+    )
 
 
 def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
@@ -627,10 +631,13 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
         oy = jnp.where(upd, hit.py, oy)
         oz = jnp.where(upd, hit.pz, oz)
 
-        # pack bounces | hits<<16: 16-bit fields so sums over all AA
-        # samples of a pixel can never overflow (spp * bounce_limit < 2^16)
+        # pack bounces | hits<<5: per-lane counts are <= bounce_limit
+        # (<= 16), so 5-bit fields suffice — the upper 22 bits stay free
+        # for the textured path to carry the sky texel index in the SAME
+        # output stream (every extra pallas output stream measurably
+        # slows the whole launch)
         count = count + alive.astype(jnp.int32) + (
-            upd.astype(jnp.int32) << 16
+            upd.astype(jnp.int32) << 5
         )
     return pr, pg, pb, total, sky_w, count, dx, dy, dz
 
@@ -638,7 +645,7 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
 def _render_kernel(
     cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
     pix_r_ref, pix_g_ref, pix_b_ref, total_ref, count_ref,  # VMEM outputs
-    sky_idx_ref=None, sky_w_ref=None,  # VMEM outputs (textured path only)
+    sky_w_ref=None,  # VMEM output (textured path only)
     *,
     cfg: RenderConfig,
     n_spheres: int,
@@ -738,7 +745,7 @@ def _render_kernel(
     #     death iteration, so the final d IS the sky direction for
     #     sky-terminated lanes (reflectivity-cutoff lanes have sky_w == 0,
     #     so their garbage-but-in-range texel index is weighted by zero);
-    #   - per-lane trace counters pack bounces | hits<<16 (summed host-side
+    #   - per-lane trace counters pack bounces | hits<<5 (summed host-side
     #     into the honest Mrays/s counter).
     (pr, pg, pb, total, sky_w, count, dx, dy, dz) = _bounce_chain(
         ox, oy, oz, dx, dy, dz, lane_valid,
@@ -756,10 +763,15 @@ def _render_kernel(
     pix_g_ref[0] = pg
     pix_b_ref[0] = pb
     total_ref[0] = total
-    count_ref[0] = count
     if procedural is None:
-        sky_idx_ref[0] = _sky_texel_index(dx, dy, dz, sky_dim)
+        # the sky texel index rides the counter stream (bits 10..28; the
+        # 5|5-bit trace counts use bits 0..9): one fewer output stream
+        count_ref[0] = count | (
+            _sky_texel_index(dx, dy, dz, sky_dim) << 10
+        )
         sky_w_ref[0] = sky_w
+    else:
+        count_ref[0] = count
 
 
 # ---------------------------------------------------------------------------
@@ -795,9 +807,11 @@ def _render_rays_pallas(
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def count_to_rays(stats):
-        # unpack per-lane counters: traces = bounces + hits * n_lights
-        bounces = (stats & 0xFFFF).astype(jnp.uint32)
-        hits = ((stats >> 16) & 0xFFFF).astype(jnp.uint32)
+        # unpack per-lane counters (bounces | hits<<5; the textured path
+        # carries the sky texel index above bit 10, masked off here):
+        # traces = bounces + hits * n_lights
+        bounces = (stats & 0x1F).astype(jnp.uint32)
+        hits = ((stats >> 5) & 0x1F).astype(jnp.uint32)
         n_lights = jnp.uint32(n_dl + n_pl)
         return (bounces + hits * n_lights).sum(dtype=jnp.uint32)
 
@@ -843,7 +857,13 @@ def _render_rays_pallas(
         color = Vec3(
             pflat(pr) * inv_n, pflat(pg) * inv_n, pflat(pb) * inv_n
         )
-        return color, count_to_rays(pflat(counts))
+        # the acc layout repacked per-sample counters into 16|16 sums
+        st = pflat(counts)
+        bounces = (st & 0xFFFF).astype(jnp.uint32)
+        hits = ((st >> 16) & 0xFFFF).astype(jnp.uint32)
+        return color, (
+            bounces + hits * jnp.uint32(n_dl + n_pl)
+        ).sum(dtype=jnp.uint32)
 
     n_rays = W * n_rows * n_samples
     n_tiles = pl.cdiv(n_rays, tile_r * LANES)
@@ -874,8 +894,10 @@ def _render_rays_pallas(
         tile_out(jnp.int32),  # packed per-lane trace counters
     ]
     if procedural is None:
+        # NOTE: the sky texel index shares the counter stream (bits
+        # 10..28) — every extra pallas output stream measurably slows
+        # the launch, so the textured path adds only sky_w
         shapes_specs += [
-            tile_out(jnp.int32),  # sky_idx
             tile_out(jnp.float32),  # sky_w
         ]
     out_shape = [s for s, _ in shapes_specs]
@@ -895,10 +917,11 @@ def _render_rays_pallas(
         return a.reshape(-1)[:n_rays]
 
     if procedural is None:
-        pr, pg, pb, total, counts, sky_idx, sky_w = outs
+        pr, pg, pb, total, counts, sky_w = outs
         # deferred skybox fetch + final normalization (texels are packed
-        # 0x00RRGGBB so each ray needs ONE 4-byte texel)
-        texel = fetch_packed_texels(skybox_flat, flat(sky_idx))
+        # 0x00RRGGBB so each ray needs ONE 4-byte texel); the index is
+        # unpacked from the counter stream
+        texel = fetch_packed_texels(skybox_flat, flat(counts) >> 10)
         c255 = jnp.asarray(255.0, jnp.float32)
         skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
         skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
