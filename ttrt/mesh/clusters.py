@@ -243,13 +243,17 @@ def pack_clusters(
 def live_clusters(
     pack: ClusterPack, o: Vec3, d: Vec3, n_tiles: int
 ) -> jnp.ndarray:
-    """Conservative XLA broad phase: (T, 8, KB_s + KB_t) int32 — 1 when
-    ANY ray of ROW r (128 rays) of tile t may hit cluster k's AABB
+    """REFERENCE broad phase (tests only): (T, 8, KB_s + KB_t) int32 — 1
+    when ANY ray of ROW r (128 rays) of tile t may hit cluster k's AABB
     (robust slab test; an axis with |d| ~ 0 passes iff the origin lies
-    inside that slab, so no false negatives from inf*0 NaNs). Row
-    granularity matters: the kernel predicates each 128-ray row
-    independently, and coherent ray batches (half an image row at the
-    config-4 resolution) cull far better at 128 rays than at 1024.
+    inside that slab, so no false negatives from inf*0 NaNs).
+
+    The production kernel (ttrt.kernels.mesh_pallas) performs its own
+    IN-KERNEL slab test per (tile, subcluster) — measured far cheaper
+    than staging an XLA-computed live matrix through scalar prefetch —
+    using a slightly MORE permissive clamped-1/d form. Both are
+    conservative w.r.t. true intersections, so the test-suite invariant
+    "every kernel winner's cluster passes this reference test" holds.
     ``o``/``d`` components are the PADDED (T*1024,) flat arrays."""
     lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)  # (K, 3)
     hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
