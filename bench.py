@@ -436,8 +436,11 @@ def bench_pathtrace() -> dict:
         fb = pathtrace_frame(scene.with_camera_frame(frame), lights, cfg, key)
         return (fb.x.sum() + fb.y.sum() + fb.z.sum(), jnp.uint32(0))
 
+    # frames are ~1-2 ms: with only 9 fresh frames per slope the ~±10 ms
+    # per-batch sync jitter dominated (round-1 94 vs round-2 33 Msample/s
+    # on identical code); 30 frames tightens the slope ~3x
     series = TimeSeries(cfg.dtype, base=1700.0, step=0.41)
-    sec, _ = _throughput(step, scene, series, n_small=3, n_big=12)
+    sec, _ = _throughput(step, scene, series, n_small=6, n_big=36)
     samples = cfg.n_primary_rays
     return {"pathtrace_msamples_per_s": samples / sec / 1e6}
 
