@@ -305,8 +305,29 @@ def bench_many_object() -> dict:
 
     series = TimeSeries(cfg.dtype, base=1300.0, step=0.21)
     sec, outs = _throughput(step, scene, series, n_small=3, n_big=9)
+
+    # comparison point: the XLA dense tester at precision=HIGHEST (the
+    # only numerically sound non-Pallas path — round-1's 6.6 Mray/s was
+    # measured on the bf16-default dense, which returns ~6% false hits
+    # at this sphere density)
+    scene_dense = scene._replace(clusters=None)
+
+    @jax.jit
+    def step_dense(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        fb, rays = render_frame(
+            scene.with_camera_frame(frame), cfg, count_rays=True
+        )
+        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+
+    sec_d, outs_d = _throughput(
+        step_dense, scene_dense, series, n_small=3, n_big=9, repeats=1
+    )
     return {
-        "mrays_10k_dense": int(outs[-1][1]) / sec / 1e6,
+        "mrays_10k_cluster": int(outs[-1][1]) / sec / 1e6,
+        "mrays_10k_dense_corrected": int(outs_d[-1][1]) / sec_d / 1e6,
         "grid_dims": list(scene.grid.dims),
     }
 

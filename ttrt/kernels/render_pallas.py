@@ -913,8 +913,17 @@ def _render_rays_pallas(
     )(packed.cam, packed.spheres, packed.plane, packed.dlights,
       packed.plights)
 
+    # The epilogue runs on the PADDED flat shape (n_tiles * tile_r * 128,
+    # a multiple of every vreg tile) and slices to n_rays exactly ONCE at
+    # the end — an early [:n_rays] slice leaves every downstream op on a
+    # sublane-misaligned array. (Candidate explanation for the textured
+    # tier's ~2.5x gap vs the procedural kernel; measurement is
+    # inconclusive at the chip's run-to-run variance, but aligned shapes
+    # are strictly safer.) Padding lanes start dead in the kernel (zero
+    # counters/weights/colors, total == 0 guarded below), so they flow
+    # through harmlessly and are cut by the final slice.
     def flat(a):
-        return a.reshape(-1)[:n_rays]
+        return a.reshape(-1)
 
     if procedural is None:
         pr, pg, pb, total, counts, sky_w = outs
@@ -928,18 +937,22 @@ def _render_rays_pallas(
         skb = (texel & 0xFF).astype(jnp.float32) / c255
 
         w = flat(sky_w)
-        inv_total = 1.0 / flat(total)
+        total_f = flat(total)
+        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
-            (flat(pr) + w * skr) * inv_total,
-            (flat(pg) + w * skg) * inv_total,
-            (flat(pb) + w * skb) * inv_total,
+            ((flat(pr) + w * skr) * inv_total)[:n_rays],
+            ((flat(pg) + w * skg) * inv_total)[:n_rays],
+            ((flat(pb) + w * skb) * inv_total)[:n_rays],
         )
     else:
         # procedural skybox: the kernel already folded the sky color in
         pr, pg, pb, total, counts = outs
-        inv_total = 1.0 / flat(total)
+        total_f = flat(total)
+        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
-            flat(pr) * inv_total, flat(pg) * inv_total, flat(pb) * inv_total
+            (flat(pr) * inv_total)[:n_rays],
+            (flat(pg) * inv_total)[:n_rays],
+            (flat(pb) * inv_total)[:n_rays],
         )
     return color, count_to_rays(flat(counts))
 
