@@ -156,3 +156,23 @@ class TestNearestParity:
         # winner near-ties can flip isolated pixels; the image must agree
         assert float((diff > 1e-3).mean()) <= 0.01
         assert float(np.median(diff)) < 1e-5
+
+
+class TestCullDenseEquivalence:
+    def test_cull_equals_dense_mode(self):
+        """mode='cull' (in-kernel AABB skip) must return EXACTLY what
+        mode='dense' (branch-free exhaustive) returns — a cull false
+        negative would silently drop intersections."""
+        scene = _random_mesh_scene(n=300)
+        pack = scene.clusters
+        o, d = _rays(np.random.default_rng(123), TILE_RAYS)
+        kw = dict(interpret=True, tile_rows=8, subs_per_page=2)
+        hc = jax.jit(
+            lambda o, d: cluster_nearest(pack, o, d, mode="cull", **kw)
+        )(o, d)
+        hd = jax.jit(
+            lambda o, d: cluster_nearest(pack, o, d, mode="dense", **kw)
+        )(o, d)
+        np.testing.assert_array_equal(np.asarray(hc.obj), np.asarray(hd.obj))
+        np.testing.assert_array_equal(np.asarray(hc.t), np.asarray(hd.t))
+        assert (np.asarray(hd.obj) >= 0).any()
