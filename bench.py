@@ -279,7 +279,14 @@ def bench_textured() -> dict:
 
 
 def bench_many_object() -> dict:
-    """Config-4 tier: 10k spheres + triangle-mesh floor (dense tester)."""
+    """Config-4 tier: 10k spheres + triangle-mesh floor.
+
+    Key history (for round-over-round comparison tooling): round 1 emitted
+    ``mrays_10k_dense`` (bf16-corrupted numerics — INVALID); round 2 split
+    it into ``mrays_10k_cluster`` (production Pallas kernel) +
+    ``mrays_10k_dense_corrected`` (precision=HIGHEST XLA dense); round 3
+    adds ``mrays_10k_fused`` (monolithic fused kernel, the production
+    path)."""
     from ttrt.assets import make_colors_skybox, skybox_from_faces
     from ttrt.config import RenderConfig
     from ttrt.frames import orbit_camera_frame

@@ -135,6 +135,11 @@ def test_pallas_quantized_exact_off_knife_edges(maker, t):
 
     flips = q_pal != q_ref  # (H, W, 3) channel flips
     knife = k1 | k2
+    class_counts = (
+        f"K1={int(k1.sum())}px ({k1.mean():.1%}) "
+        f"K2={int(k2.sum())}px ({k2.mean():.1%}) "
+        f"KQ={int(kq.any(axis=-1).sum())}px union={knife.mean():.1%}"
+    )
     uncovered = flips & ~knife[..., None] & ~kq
     if uncovered.any():
         ys, xs, cs = np.nonzero(uncovered)
@@ -144,13 +149,17 @@ def test_pallas_quantized_exact_off_knife_edges(maker, t):
         ][:16]
         pytest.fail(
             f"{uncovered.sum()} quantized flips outside the enumerated "
-            f"knife-edge classes: (y,x,ch,ref,pal)={detail}"
+            f"knife-edge classes [{class_counts}]: (y,x,ch,ref,pal)={detail}"
         )
 
     # bit-equality holds on the stable set by construction (asserted above)
-    # and the enumeration itself is sparse + flips rare:
+    # and the enumeration itself is sparse + flips rare. Cap = measured
+    # fraction + margin (scratch/knife_fraction.py, 2026-08-17: colors
+    # 12.1%, uv_checker 15.2% — was a soft 40% in round 2):
     n_px = flips.shape[0] * flips.shape[1]
-    assert knife.mean() <= 0.40, f"knife enumeration too broad: {knife.mean():.2%}"
+    assert knife.mean() <= 0.20, (
+        f"knife enumeration too broad [{class_counts}]"
+    )
     assert flips.any(axis=-1).sum() <= 0.03 * n_px
     # float values off the knife set never deviate by even half a quantum
     # (sub-quantum branch effects deep in a bounce chain are possible; a

@@ -980,6 +980,17 @@ def render_frame_pallas(
         # the bounce chain is fully unrolled; keep compile time/program
         # size bounded (the XLA path serves deeper recursions)
         raise ValueError("pallas path supports bounce_limit <= 16")
+    if (
+        scene.skybox.procedural is None
+        and 6 * scene.skybox.dim * scene.skybox.dim > (2**31 - 1) >> 10
+    ):
+        # the deferred sky texel index rides bits 10..30 of the int32
+        # counter stream; 6*dim^2 << 10 must not overflow into the sign
+        # bit (dim >= 592 would yield negative indices after >> 10)
+        raise ValueError(
+            "pallas textured path supports cubemap dim <= 591 "
+            f"(got {scene.skybox.dim}); use the XLA path for larger skyboxes"
+        )
     packed = pack_scene(scene, jnp.float32)
     pixel_rate = False  # the accumulating layout is experimental/off
     color, count = _render_rays_pallas(

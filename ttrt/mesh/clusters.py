@@ -9,13 +9,14 @@ divergent control flow is COARSE lockstep culling:
   * spheres are sorted by a Morton (z-order) key and chunked into
     contiguous CLUSTERS of 128 (= one VPU lane tile), each with a
     precomputed AABB;
-  * a cheap XLA broad phase tests every (ray tile, cluster AABB) pair and
-    reduces to a per-tile live matrix — "may any ray of this 1024-ray tile
-    hit this cluster?";
-  * the Pallas narrow kernel (ttrt.kernels.mesh_pallas) walks the
-    (tile, cluster) grid and skips dead clusters via pl.when, so the
-    expensive per-pair quadratic runs only on the ~10-30% of pairs the
-    broad phase could not rule out.
+  * the Pallas narrow kernel (ttrt.kernels.mesh_pallas) performs the
+    PRODUCTION culling IN-KERNEL: a branch-free conservative slab test of
+    the whole ray tile against each subcluster AABB, then one pl.when
+    skip of the ~8k-instruction narrow body — measured far cheaper than
+    staging an XLA-computed live matrix through scalar prefetch;
+  * ``live_clusters`` below is the TEST ORACLE only: a reference XLA
+    broad phase whose conservative live matrix must cover every winner
+    the kernel reports (tests/test_clusters.py).
 
 The reference's roadmap item this serves is the acceleration-structure
 line (TerminalRayTracer.c:30, README.md:20); the uniform grid
