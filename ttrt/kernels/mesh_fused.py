@@ -1,0 +1,1033 @@
+"""Monolithic fused Pallas kernel for the many-object tier: the WHOLE
+frame — primary rays, every bounce, every shadow test, shading, sky —
+in ONE pallas_call.
+
+Round 2's architecture launched the cluster-culled nearest-hit kernel
+(ttrt.kernels.mesh_pallas) once per trace: with B bounces and L lights
+that is B*(1+L) separate launches per frame (~9-30), with the full ray
+state round-tripping HBM between launches and the XLA integrator's
+gather/shading epilogue after each — measured 4.1 Mray/s end-to-end on
+the 10k tier while the demo-tier fused kernel does 2600. This kernel
+keeps the packed geometry AND all per-ray bounce state VMEM-resident for
+the entire frame, the way render_pallas does for the 6-sphere demo tier
+(matching the reference's whole hot loop, project_scene,
+TerminalRayTracer.c:966-1069, plus its acceleration roadmap item :30).
+
+Structure (driven by the round-1/2 kernel lessons):
+
+  * grid = (ray tiles, B+1 PHASES). Phase k sweeps the subclusters once,
+    testing THREE ray sets per subcluster while its (8, 16) component
+    pages are hot: the shadow rays of bounce k-1 (one any-hit test per
+    light, sharing the origin-dependent half of the quadratic between
+    lights) and the nearest-hit rays of bounce k. Phase 0 is
+    nearest-only (no shadows yet), phase B shadow-only.
+  * the subcluster sweep is a lax.fori_loop whose body carries NOTHING —
+    all state lives in VMEM scratch refs — so the loop adds no vector
+    carries (the round-2 Mosaic trap); the fat ~50k-op body amortizes
+    the loop overhead that killed the thin-carry bounce loops.
+  * subclusters are visited NEAR-TO-FAR in camera-distance order (a
+    per-frame argsort staged through SMEM), and each is slab-tested
+    against each ray set with per-ray CURRENT-BEST pruning: a subcluster
+    whose AABB entry lies beyond every live ray's best-t is skipped with
+    one pl.when. Near-to-far ordering makes that prune converge fast —
+    once every ray has a nearer hit than the remaining boxes, the rest
+    of the sweep is slab tests only.
+  * shading happens at phase boundaries entirely in-kernel: materials
+    and triangle normals ride the cluster pack (ClusterPack rows 5..8 /
+    10..16), carried through the nearest scan as sublane-class partials
+    next to t, so there are NO per-object gathers anywhere.
+
+Semantics are the XLA mesh path's exactly (trace_ray_mesh + the shared
+integrator/lighting, themselves parity-tested against
+TerminalRayTracer.c): sphere/triangle intersection quirks (c:638-695),
+EPSILON back-offset (:870-874), un-clamped-below n.l (:911,:945), the
+point-light occlusion comparison (:937-942) restructured as an any-hit
+cutoff (same restructuring render_pallas documents), contribution-
+weighted bounce accumulation (:1012-1065), deferred/procedural skybox
+(:700-789).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ttrt.config import RenderConfig, constants
+from ttrt.kernels.render_pallas import (LANES, _normalize3,
+                                        _sky_color_procedural,
+                                        _sky_texel_index, pack_camera,
+                                        pack_dlights, pack_plights)
+from ttrt.mesh.clusters import GROUPS, ClusterPack
+from ttrt.render.skybox import fetch_packed_texels
+from ttrt.vec import Vec3
+
+_F32_MAX = float(np.finfo(np.float32).max)
+
+TILE_ROWS = 16  # ray tile = (TILE_ROWS, 128) lanes
+
+
+def _col(block, g):
+    """Static (8, 1) column slice of a loaded (8, GROUPS) page."""
+    return jax.lax.slice(block, (0, g), (8, g + 1))
+
+
+def _b128(v):  # (8,1) or (1,128) -> (8,128), one explicit broadcast
+    return jnp.broadcast_to(v, (8, LANES))
+
+
+# ---------------------------------------------------------------------------
+# Per-frame subcluster ordering (XLA, staged through SMEM)
+# ---------------------------------------------------------------------------
+
+
+def order_subclusters(pack: ClusterPack, origin: jnp.ndarray) -> jnp.ndarray:
+    """(K,) int32 visit order over ALL subclusters (combined index space:
+    spheres 0..kb_sph-1, triangles kb_sph..K-1), sorted by squared
+    distance from ``origin`` to the AABB center. Invalid (fully-padded)
+    subclusters sort last; their NaN AABBs fail every slab test, so they
+    cost one test each and are never entered. Ordering is a pure
+    OPTIMIZATION: any permutation yields identical output (asserted by
+    tests); near-to-far merely makes the best-t prune converge fast."""
+    lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)
+    hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
+    valid = jnp.concatenate([pack.sph_valid, pack.tri_valid]) != 0
+    c = 0.5 * (lo + hi)
+    d2 = ((c - origin[None, :].astype(jnp.float32)) ** 2).sum(axis=-1)
+    key = jnp.where(valid, d2, jnp.inf)
+    return jnp.argsort(key).astype(jnp.int32)
+
+
+def _aabb_table(pack: ClusterPack) -> jnp.ndarray:
+    """(K, 8) f32 SMEM table: lo xyz, hi xyz, 0, 0 per subcluster
+    (combined index space). Invalid subclusters carry NaN boxes — every
+    slab comparison is then false, so they are never live."""
+    lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)
+    hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
+    valid = jnp.concatenate([pack.sph_valid, pack.tri_valid]) != 0
+    nan = jnp.float32(jnp.nan)
+    lo = jnp.where(valid[:, None], lo.astype(jnp.float32), nan)
+    hi = jnp.where(valid[:, None], hi.astype(jnp.float32), nan)
+    k = lo.shape[0]
+    return jnp.concatenate([lo, hi, jnp.zeros((k, 2), jnp.float32)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# The kernel
+# ---------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    cam_ref, dl_ref, pl_ref, order_ref, aabb_ref,  # SMEM
+    sph_ref, tri_ref,  # VMEM resident geometry (either may be None)
+    out_r, out_g, out_b, out_total, out_cnt, out_skyw,  # (1, TR, 128)
+    st_ref, q_ref, cnt_ref,  # VMEM scratch
+    *,
+    cfg: RenderConfig,
+    kb_sph: int,
+    kb_tri: int,
+    n_dl: int,
+    n_pl: int,
+    sky_dim: int,
+    tile_rows: int,
+    procedural: str,
+    prune: bool,
+    n_rows: int,
+    n_samples: int,
+    stats: bool = False,
+):
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    B = cfg.bounce_limit
+    TR = tile_rows
+    R8 = TR * 8
+    K = kb_sph + kb_tri
+    n_lights = n_dl + n_pl
+
+    i = pl.program_id(0)  # ray tile
+    ph = pl.program_id(1)  # phase (0..B)
+
+    # ----- state slot map (all f32 rows of st_ref, each (TR, 128)) -----
+    _c = iter(range(1000))
+    OX, OY, OZ, DX, DY, DZ = (next(_c) for _ in range(6))
+    POD, POO, PFA, PI2 = (next(_c) for _ in range(4))  # nearest precompute
+    NIVX, NIVY, NIVZ = (next(_c) for _ in range(3))  # clamped 1/d (slab)
+    HX, HY, HZ, SOO = (next(_c) for _ in range(4))  # shadow origin
+    SDL_OD = [next(_c) for _ in range(n_dl)]  # o_s . dl_dir
+    PL_BASE = [
+        {k: next(_c) for k in
+         ("pdx", "pdy", "pdz", "tmax", "d2", "od", "ivx", "ivy", "ivz")}
+        for _ in range(n_pl)
+    ]
+    NX, NY, NZ = (next(_c) for _ in range(3))  # hit normal (unit)
+    MCR, MCG, MCB = (next(_c) for _ in range(3))  # hit material color
+    HW = next(_c)  # hit weight for the pending lighting
+    APR, APG, APB = (next(_c) for _ in range(3))  # accumulators
+    ATOT, ASKYW, ACON = (next(_c) for _ in range(3))
+    BTF = next(_c)  # folded best-t (pruning)
+    SFOLD = [next(_c) for _ in range(n_lights)]  # folded blocked masks
+    NS = next(_c)
+    assert st_ref.shape[0] == NS * TR, (st_ref.shape, NS, TR)
+
+    def sget(k):
+        return st_ref[k * TR:(k + 1) * TR, :]
+
+    def sset(k, v):
+        st_ref[k * TR:(k + 1) * TR, :] = v
+
+    def srow(k, r):  # (8, 128) broadcast of one state row
+        return jnp.broadcast_to(st_ref[k * TR + r: k * TR + r + 1, :],
+                                (8, LANES))
+
+    def srow_set(k, r, v):  # write one (1, 128) state row
+        st_ref[k * TR + r: k * TR + r + 1, :] = v
+
+    # ----- partial slot map (rows of q_ref, each (R8, 128)) -----
+    QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF = range(9)
+    QSH = [9 + j for j in range(n_lights)]
+    NQ = 9 + n_lights
+
+    def qrow(qi, r):  # (8, 128) class-partial row r
+        return q_ref[qi * R8 + r * 8: qi * R8 + (r + 1) * 8, :]
+
+    def qrow_set(qi, r, v):
+        q_ref[qi * R8 + r * 8: qi * R8 + (r + 1) * 8, :] = v
+
+    def cinv(dc):
+        # conservative clamped 1/d: |d| floored keeping sign, so
+        # axis-parallel rays yield +-huge slab times -> false POSITIVES
+        # only (lockstep-safe); see mesh_pallas.
+        m = jnp.maximum(jnp.abs(dc), 1e-12)
+        return 1.0 / jnp.where(dc >= 0.0, m, -m)
+
+    def reset_sweep_state():
+        q_ref[QT * R8:(QT + 1) * R8, :] = jnp.full(
+            (R8, LANES), _F32_MAX, jnp.float32
+        )
+        for qi in (QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF, *QSH):
+            q_ref[qi * R8:(qi + 1) * R8, :] = jnp.zeros(
+                (R8, LANES), jnp.float32
+            )
+        sset(BTF, jnp.full((TR, LANES), _F32_MAX, jnp.float32))
+        for k in SFOLD:
+            sset(k, jnp.zeros((TR, LANES), jnp.float32))
+
+    def store_ray_precompute():
+        ox, oy, oz = sget(OX), sget(OY), sget(OZ)
+        dx, dy, dz = sget(DX), sget(DY), sget(DZ)
+        a = dx * dx + dy * dy + dz * dz
+        sset(POD, ox * dx + oy * dy + oz * dz)
+        sset(POO, ox * ox + oy * oy + oz * oz)
+        sset(PFA, 4.0 * a)
+        sset(PI2, 0.5 / a)
+        sset(NIVX, cinv(dx))
+        sset(NIVY, cinv(dy))
+        sset(NIVZ, cinv(dz))
+
+    # ------------------------------------------------------------------
+    # Phase-boundary pieces
+    # ------------------------------------------------------------------
+
+    @pl.when(ph == 0)
+    def _init():
+        # --- primary ray generation (project_scene ray setup,
+        # TerminalRayTracer.c:978-1011; same sample-major lane order and
+        # band/sample offsets as render_pallas._render_kernel).
+        n_rays = W * n_rows * n_samples
+        lane = (
+            jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 1)
+        )
+        idx = i * (TR * LANES) + lane
+        lane_valid = idx < n_rays
+        n_pixels = W * n_rows
+        k = (idx // n_pixels).astype(jnp.float32) + cam_ref[16]
+        pix = idx % n_pixels
+        col = (pix % W).astype(jnp.float32)
+        row = (pix // W).astype(jnp.float32) + cam_ref[15]
+
+        bx0, bx1, bx2 = cam_ref[0], cam_ref[1], cam_ref[2]
+        by0, by1, by2 = cam_ref[3], cam_ref[4], cam_ref[5]
+        bz0, bz1, bz2 = cam_ref[6], cam_ref[7], cam_ref[8]
+        cox, coy, coz = cam_ref[9], cam_ref[10], cam_ref[11]
+        szc, sw, sh = cam_ref[12], cam_ref[13], cam_ref[14]
+        pixel_w = sw / W
+        pixel_h = sh / H
+
+        def tri_wave(t):
+            m = jnp.mod(t, 2.0 * constants.PI)
+            return jnp.where(
+                m < constants.PI, m / constants.PI, 2.0 - m / constants.PI
+            )
+
+        jit_x = tri_wave(2.0 * constants.PI * k / N) / 2.0 * pixel_w
+        jit_y = tri_wave(constants.PI * k / N) / 2.0 * pixel_h
+        sxv = (col / W) * sw - sw / 2.0 + jit_x
+        syv = -((row / H) * sh - sh / 2.0) + jit_y
+        dx, dy, dz = _normalize3(
+            sxv * bx0 + syv * by0 + szc * bz0 - cox,
+            sxv * bx1 + syv * by1 + szc * bz1 - coy,
+            sxv * bx2 + syv * by2 + szc * bz2 - coz,
+        )
+        sset(OX, jnp.full((TR, LANES), cox, jnp.float32))
+        sset(OY, jnp.full((TR, LANES), coy, jnp.float32))
+        sset(OZ, jnp.full((TR, LANES), coz, jnp.float32))
+        sset(DX, dx)
+        sset(DY, dy)
+        sset(DZ, dz)
+        store_ray_precompute()
+        zero = jnp.zeros((TR, LANES), jnp.float32)
+        for k2 in (APR, APG, APB, ATOT, ASKYW, HW, NX, NY, NZ, MCR, MCG,
+                   MCB, HX, HY, HZ, SOO, *SDL_OD):
+            sset(k2, zero)
+        for d in PL_BASE:
+            for k2 in d.values():
+                sset(k2, zero)
+        sset(ACON, jnp.where(lane_valid, 1.0, 0.0).astype(jnp.float32))
+        cnt_ref[...] = jnp.zeros((TR, LANES), jnp.int32)
+        reset_sweep_state()
+
+    def lighting_from_folds():
+        """Shade the PENDING bounce (hit attrs in state, blocked masks in
+        the shadow folds) and accumulate hw-weighted into the pixel
+        (apply_lighting, TerminalRayTracer.c:894-963)."""
+        nx, ny, nz = sget(NX), sget(NY), sget(NZ)
+        mcr, mcg, mcb = sget(MCR), sget(MCG), sget(MCB)
+        hw = sget(HW)
+        litr = jnp.zeros((TR, LANES), jnp.float32)
+        litg = jnp.zeros((TR, LANES), jnp.float32)
+        litb = jnp.zeros((TR, LANES), jnp.float32)
+        for li in range(n_dl):
+            lx, ly, lz = (dl_ref[li * 6 + c] for c in range(3))
+            lcr, lcg, lcb = (dl_ref[li * 6 + 3 + c] for c in range(3))
+            blocked = sget(SFOLD[li]) > 0.0
+            ndotl = jnp.minimum(nx * lx + ny * ly + nz * lz, 1.0)  # c:911
+            litr = litr + jnp.where(blocked, 0.0, lcr * ndotl * mcr)
+            litg = litg + jnp.where(blocked, 0.0, lcg * ndotl * mcg)
+            litb = litb + jnp.where(blocked, 0.0, lcb * ndotl * mcb)
+        for lj in range(n_pl):
+            d = PL_BASE[lj]
+            lcr, lcg, lcb = (pl_ref[lj * 7 + 3 + c] for c in range(3))
+            inten_s = pl_ref[lj * 7 + 6]
+            light_d2 = sget(d["d2"])
+            inten = jnp.minimum(
+                jnp.maximum(inten_s / light_d2, 0.0), 1.0
+            )  # c:931
+            pdx, pdy, pdz = sget(d["pdx"]), sget(d["pdy"]), sget(d["pdz"])
+            blocked = sget(SFOLD[n_dl + lj]) > 0.0
+            ndotl = jnp.minimum(nx * pdx + ny * pdy + nz * pdz, 1.0)
+            scale = inten * ndotl
+            litr = litr + jnp.where(blocked, 0.0, lcr * scale * mcr)
+            litg = litg + jnp.where(blocked, 0.0, lcg * scale * mcg)
+            litb = litb + jnp.where(blocked, 0.0, lcb * scale * mcb)
+        clamp01 = lambda v: jnp.minimum(jnp.maximum(v, 0.0), 1.0)  # c:960
+        sset(APR, sget(APR) + hw * clamp01(litr))
+        sset(APG, sget(APG) + hw * clamp01(litg))
+        sset(APB, sget(APB) + hw * clamp01(litb))
+
+    def fold_nearest():
+        """Fold the sublane-class partials to per-ray winners: (TR,128)
+        arrays (t, is_tri, n1..3, cr, cg, cb, refl)."""
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
+        outs = [
+            jnp.full((TR, LANES), _F32_MAX, jnp.float32)
+        ] + [jnp.zeros((TR, LANES), jnp.float32) for _ in range(8)]
+        qis = (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)
+        for r in range(TR):
+            vals = [qrow(qi, r) for qi in qis]
+            for h in (4, 2, 1):
+                t_lo = vals[0][0:h, :]
+                t_hi = vals[0][h:2 * h, :]
+                tk = t_hi < t_lo
+                vals = [
+                    jnp.where(tk, v[h:2 * h, :], v[0:h, :]) for v in vals
+                ]
+            outs = [
+                jnp.where(row_iota == r, v, o) for v, o in zip(vals, outs)
+            ]
+        return outs
+
+    def fold_and_setup():
+        """Consume the just-swept nearest partials: hit fixups, bounce
+        accounting, reflected continuation ray, shadow-ray setup
+        (trace_ray fixups c:858-886 + project_scene bookkeeping
+        c:1012-1057, identical op order to the jnp oracle)."""
+        bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = fold_nearest()
+        ox, oy, oz = sget(OX), sget(OY), sget(OZ)
+        dx, dy, dz = sget(DX), sget(DY), sget(DZ)
+        acon = sget(ACON)
+        alive = acon > constants.CONTRIBUTION_EPS
+        hit = alive & (bt < _F32_MAX)
+        t = jnp.where(hit, bt, 0.0)
+        px, py, pz = ox + t * dx, oy + t * dy, oz + t * dz
+        tox, toy, toz = _normalize3(ox - px, oy - py, oz - pz)
+        eps = constants.EPSILON
+        pxo = jnp.where(hit, px + tox * eps, ox)
+        pyo = jnp.where(hit, py + toy * eps, oy)
+        pzo = jnp.where(hit, pz + toz * eps, oz)
+        is_tri = bfl > 0.5
+        nrx = jnp.where(is_tri, bn1, px - bn1)
+        nry = jnp.where(is_tri, bn2, py - bn2)
+        nrz = jnp.where(is_tri, bn3, pz - bn3)
+        nx, ny, nz = _normalize3(
+            jnp.where(hit, nrx, dx),
+            jnp.where(hit, nry, dy),
+            jnp.where(hit, nrz, dz),
+        )
+        miss_now = alive & ~hit
+        upd = alive & hit
+        sset(ATOT, sget(ATOT) + jnp.where(alive, acon, 0.0))
+        sset(ASKYW, jnp.where(miss_now, acon, sget(ASKYW)))
+        hw = jnp.where(upd, acon, 0.0)
+        sset(HW, hw)
+        sset(ACON, jnp.where(alive, jnp.where(upd, acon * brf, 0.0), acon))
+        cnt_ref[...] = cnt_ref[...] + alive.astype(jnp.int32) + (
+            upd.astype(jnp.int32) << 5
+        )
+        sset(NX, nx)
+        sset(NY, ny)
+        sset(NZ, nz)
+        sset(MCR, bcr)
+        sset(MCG, bcg)
+        sset(MCB, bcb)
+        # reflected continuation ray, frozen on dead/miss lanes
+        dn = 2.0 * (dx * nx + dy * ny + dz * nz)
+        rdx, rdy, rdz = _normalize3(
+            dx - dn * nx, dy - dn * ny, dz - dn * nz
+        )
+        sset(DX, jnp.where(upd, rdx, dx))
+        sset(DY, jnp.where(upd, rdy, dy))
+        sset(DZ, jnp.where(upd, rdz, dz))
+        sset(OX, jnp.where(upd, pxo, ox))
+        sset(OY, jnp.where(upd, pyo, oy))
+        sset(OZ, jnp.where(upd, pzo, oz))
+        store_ray_precompute()
+        # shadow rays originate at the offset hit point (origin on miss,
+        # matching the oracle's point-out fixup; those lanes are hw=0)
+        hx, hy, hz = pxo, pyo, pzo
+        sset(HX, hx)
+        sset(HY, hy)
+        sset(HZ, hz)
+        sset(SOO, hx * hx + hy * hy + hz * hz)
+        for li in range(n_dl):
+            lx, ly, lz = (dl_ref[li * 6 + c] for c in range(3))
+            sset(SDL_OD[li], hx * lx + hy * ly + hz * lz)
+        for lj in range(n_pl):
+            d = PL_BASE[lj]
+            lpx, lpy, lpz = (pl_ref[lj * 7 + c] for c in range(3))
+            lvx, lvy, lvz = lpx - hx, lpy - hy, lpz - hz
+            d2 = lvx * lvx + lvy * lvy + lvz * lvz
+            pdx, pdy, pdz = _normalize3(lvx, lvy, lvz)
+            sset(d["pdx"], pdx)
+            sset(d["pdy"], pdy)
+            sset(d["pdz"], pdz)
+            sset(d["d2"], d2)
+            sset(d["tmax"], jnp.sqrt(d2))
+            sset(d["od"], hx * pdx + hy * pdy + hz * pdz)
+            sset(d["ivx"], cinv(pdx))
+            sset(d["ivy"], cinv(pdy))
+            sset(d["ivz"], cinv(pdz))
+
+    @pl.when(ph > 0)
+    def _boundary():
+        @pl.when(ph >= 2)
+        def _():
+            lighting_from_folds()
+
+        fold_and_setup()
+        reset_sweep_state()
+
+    # ------------------------------------------------------------------
+    # The subcluster sweep (fori over the distance-ordered subclusters)
+    # ------------------------------------------------------------------
+
+    def slab(lox, loy, loz, hix, hiy, hiz, o3, iv3, tmax=None):
+        """(TR,128) slab pass mask + entry times for one ray set. NaN
+        boxes (invalid subclusters) fail every comparison."""
+        ox_, oy_, oz_ = o3
+        ivx, ivy, ivz = iv3
+        t1 = (lox - ox_) * ivx
+        t2 = (hix - ox_) * ivx
+        tn = jnp.minimum(t1, t2)
+        tf = jnp.maximum(t1, t2)
+        t1 = (loy - oy_) * ivy
+        t2 = (hiy - oy_) * ivy
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        t1 = (loz - oz_) * ivz
+        t2 = (hiz - oz_) * ivz
+        tn = jnp.maximum(tn, jnp.minimum(t1, t2))
+        tf = jnp.minimum(tf, jnp.maximum(t1, t2))
+        ok = tf >= jnp.maximum(tn, 0.0)
+        if tmax is not None:
+            ok = ok & (tn <= tmax)
+        return ok, tn
+
+    def sphere_nearest(sub_s, keep):
+        """Narrow-test the subcluster's 128 spheres against every ray row
+        whose ``keep`` mask has a live lane — rows where the slab test,
+        aliveness, and best-t prune all failed skip the whole 16-group
+        scan (the tile-level ``any(keep)`` gate alone left one straggler
+        row forcing all 16 rows through; per-row gating is what makes
+        near-to-far pruning converge)."""
+        pages = [sph_ref[c, sub_s] for c in (0, 1, 2, 3, 5, 6, 7, 8)]
+        for r in range(TR):
+            @pl.when(jnp.any(keep[r:r + 1, :]))
+            def _(r=r):
+                ox, oy, oz = srow(OX, r), srow(OY, r), srow(OZ, r)
+                dx, dy, dz = srow(DX, r), srow(DY, r), srow(DZ, r)
+                pod, poo = srow(POD, r), srow(POO, r)
+                pfa, pi2 = srow(PFA, r), srow(PI2, r)
+                vals = [qrow(qi, r) for qi in
+                        (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)]
+                bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = vals
+                for g in range(GROUPS):
+                    cx = _b128(_col(pages[0], g))
+                    cy = _b128(_col(pages[1], g))
+                    cz = _b128(_col(pages[2], g))
+                    ccr2 = _b128(_col(pages[3], g))
+                    scr = _b128(_col(pages[4], g))
+                    scg = _b128(_col(pages[5], g))
+                    scb = _b128(_col(pages[6], g))
+                    srf = _b128(_col(pages[7], g))
+                    cd = cx * dx + cy * dy + cz * dz
+                    co = cx * ox + cy * oy + cz * oz
+                    b = 2.0 * (pod - cd)
+                    cc = poo - 2.0 * co + ccr2
+                    disc = b * b - pfa * cc
+                    hit = (disc >= 0.0) & (b < 0.0) & (cc > 0.0)
+                    t0 = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) * pi2
+                    take = hit & (t0 < bt)
+                    bt = jnp.where(take, t0, bt)
+                    bfl = jnp.where(take, 0.0, bfl)
+                    bn1 = jnp.where(take, cx, bn1)
+                    bn2 = jnp.where(take, cy, bn2)
+                    bn3 = jnp.where(take, cz, bn3)
+                    bcr = jnp.where(take, scr, bcr)
+                    bcg = jnp.where(take, scg, bcg)
+                    bcb = jnp.where(take, scb, bcb)
+                    brf = jnp.where(take, srf, brf)
+                for qi, v in zip(
+                    (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF),
+                    (bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf),
+                ):
+                    qrow_set(qi, r, v)
+                # per-row best-t fold update (prune key)
+                v = bt
+                for h in (4, 2, 1):
+                    v = jnp.minimum(v[0:h, :], v[h:2 * h, :])
+                srow_set(BTF, r, jnp.minimum(
+                    st_ref[BTF * TR + r: BTF * TR + r + 1, :], v
+                ))
+
+    def tri_nearest(sub_t, keep):
+        comps = [tri_ref[c, sub_t] for c in
+                 (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16)]
+        for r in range(TR):
+            @pl.when(jnp.any(keep[r:r + 1, :]))
+            def _(r=r):
+                _tri_nearest_row(comps, r)
+
+    def _tri_nearest_row(comps, r):
+            ox, oy, oz = srow(OX, r), srow(OY, r), srow(OZ, r)
+            dx, dy, dz = srow(DX, r), srow(DY, r), srow(DZ, r)
+            vals = [qrow(qi, r) for qi in
+                    (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)]
+            bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = vals
+            for g in range(GROUPS):
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                 tnx, tny, tnz, tcr, tcg, tcb, trf) = (
+                    _b128(_col(c, g)) for c in comps
+                )
+                # Moller-Trumbore with the reference's plane epsilons
+                # (c:680,685), as ttrt.mesh.triangles.ray_triangle
+                px_ = dy * e2z - dz * e2y
+                py_ = dz * e2x - dx * e2z
+                pz_ = dx * e2y - dy * e2x
+                det = e1x * px_ + e1y * py_ + e1z * pz_
+                ok = jnp.abs(det) > constants.PLANE_DENOM_EPS
+                inv = 1.0 / jnp.where(ok, det, 1.0)
+                sx = ox - v0x
+                sy = oy - v0y
+                sz = oz - v0z
+                u = (sx * px_ + sy * py_ + sz * pz_) * inv
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+                v = (dx * qx + dy * qy + dz * qz) * inv
+                tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                hit = (
+                    ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                    & (tt > constants.PLANE_T_EPS)
+                )
+                take = hit & (tt < bt)
+                bt = jnp.where(take, tt, bt)
+                bfl = jnp.where(take, 1.0, bfl)
+                bn1 = jnp.where(take, tnx, bn1)
+                bn2 = jnp.where(take, tny, bn2)
+                bn3 = jnp.where(take, tnz, bn3)
+                bcr = jnp.where(take, tcr, bcr)
+                bcg = jnp.where(take, tcg, bcg)
+                bcb = jnp.where(take, tcb, bcb)
+                brf = jnp.where(take, trf, brf)
+            for qi, v in zip((QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF),
+                             (bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf)):
+                qrow_set(qi, r, v)
+            v = bt
+            for h in (4, 2, 1):
+                v = jnp.minimum(v[0:h, :], v[h:2 * h, :])
+            srow_set(BTF, r, jnp.minimum(
+                st_ref[BTF * TR + r: BTF * TR + r + 1, :], v
+            ))
+
+    def sphere_shadow(sub_s, keep):
+        pages = [sph_ref[c, sub_s] for c in (0, 1, 2, 3)]
+        for r in range(TR):
+            @pl.when(jnp.any(keep[r:r + 1, :]))
+            def _(r=r):
+                _sphere_shadow_row(pages, r)
+
+    def _sphere_shadow_row(pages, r):
+            hx, hy, hz = srow(HX, r), srow(HY, r), srow(HZ, r)
+            soo = srow(SOO, r)
+            sh = [qrow(q, r) for q in QSH]
+            for g in range(GROUPS):
+                cx = _b128(_col(pages[0], g))
+                cy = _b128(_col(pages[1], g))
+                cz = _b128(_col(pages[2], g))
+                ccr2 = _b128(_col(pages[3], g))
+                co = cx * hx + cy * hy + cz * hz
+                cc = soo - 2.0 * co + ccr2
+                ccpos = cc > 0.0
+                for li in range(n_dl):
+                    lx, ly, lz = (dl_ref[li * 6 + c] for c in range(3))
+                    cd = cx * lx + cy * ly + cz * lz
+                    b = 2.0 * (srow(SDL_OD[li], r) - cd)
+                    disc = b * b - 4.0 * cc
+                    hit = (disc >= 0.0) & (b < 0.0) & ccpos
+                    sh[li] = jnp.where(hit, 1.0, sh[li])
+                for lj in range(n_pl):
+                    d = PL_BASE[lj]
+                    pdx = srow(d["pdx"], r)
+                    pdy = srow(d["pdy"], r)
+                    pdz = srow(d["pdz"], r)
+                    cd = cx * pdx + cy * pdy + cz * pdz
+                    b = 2.0 * (srow(d["od"], r) - cd)
+                    disc = b * b - 4.0 * cc
+                    # t0 < tmax via the sqrt-free squared form
+                    # (render_pallas._shadow_any_hit, a == 1)
+                    rhs = -b - 2.0 * srow(d["tmax"], r)
+                    hit = (
+                        (disc >= 0.0) & (b < 0.0) & ccpos
+                        & ((rhs < 0.0) | (disc > rhs * rhs))
+                    )
+                    sh[n_dl + lj] = jnp.where(hit, 1.0, sh[n_dl + lj])
+            for q, v in zip(QSH, sh):
+                qrow_set(q, r, v)
+            _sh_fold_row(sh, r)
+
+    def _sh_fold_row(sh, r):
+            # per-row blocked-mask fold into SFOLD (the shadow prune key)
+            for v, k in zip(sh, SFOLD):
+                for h in (4, 2, 1):
+                    v = jnp.maximum(v[0:h, :], v[h:2 * h, :])
+                srow_set(k, r, jnp.maximum(
+                    st_ref[k * TR + r: k * TR + r + 1, :], v
+                ))
+
+    def tri_shadow(sub_t, keep):
+        comps = [tri_ref[c, sub_t] for c in range(9)]
+        for r in range(TR):
+            @pl.when(jnp.any(keep[r:r + 1, :]))
+            def _(r=r):
+                _tri_shadow_row(comps, r)
+
+    def _tri_shadow_row(comps, r):
+            hx, hy, hz = srow(HX, r), srow(HY, r), srow(HZ, r)
+            sh = [qrow(q, r) for q in QSH]
+            for g in range(GROUPS):
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = (
+                    _b128(_col(c, g)) for c in comps
+                )
+                sx = hx - v0x
+                sy = hy - v0y
+                sz = hz - v0z
+                qx = sy * e1z - sz * e1y
+                qy = sz * e1x - sx * e1z
+                qz = sx * e1y - sy * e1x
+
+                def mt(dx_, dy_, dz_, tmax_rows=None):
+                    px_ = dy_ * e2z - dz_ * e2y
+                    py_ = dz_ * e2x - dx_ * e2z
+                    pz_ = dx_ * e2y - dy_ * e2x
+                    det = e1x * px_ + e1y * py_ + e1z * pz_
+                    ok = jnp.abs(det) > constants.PLANE_DENOM_EPS
+                    inv = 1.0 / jnp.where(ok, det, 1.0)
+                    u = (sx * px_ + sy * py_ + sz * pz_) * inv
+                    v = (dx_ * qx + dy_ * qy + dz_ * qz) * inv
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+                    hit = (
+                        ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        & (tt > constants.PLANE_T_EPS)
+                    )
+                    if tmax_rows is not None:
+                        hit = hit & (tt < tmax_rows)
+                    return hit
+
+                for li in range(n_dl):
+                    lx, ly, lz = (dl_ref[li * 6 + c] for c in range(3))
+                    one = jnp.ones((8, LANES), jnp.float32)
+                    hit = mt(lx * one, ly * one, lz * one)
+                    sh[li] = jnp.where(hit, 1.0, sh[li])
+                for lj in range(n_pl):
+                    d = PL_BASE[lj]
+                    hit = mt(
+                        srow(d["pdx"], r), srow(d["pdy"], r),
+                        srow(d["pdz"], r), srow(d["tmax"], r),
+                    )
+                    sh[n_dl + lj] = jnp.where(hit, 1.0, sh[n_dl + lj])
+            for q, v in zip(QSH, sh):
+                qrow_set(q, r, v)
+            _sh_fold_row(sh, r)
+
+    def sweep_body(s, _):
+        sub = order_ref[s]
+        lox = aabb_ref[sub, 0]
+        loy = aabb_ref[sub, 1]
+        loz = aabb_ref[sub, 2]
+        hix = aabb_ref[sub, 3]
+        hiy = aabb_ref[sub, 4]
+        hiz = aabb_ref[sub, 5]
+        if kb_sph and kb_tri:
+            is_sph = sub < kb_sph
+        else:
+            is_sph = kb_sph > 0  # static
+        sub_s = jnp.minimum(sub, kb_sph - 1) if kb_sph else 0
+        sub_t = (
+            jnp.clip(sub - kb_sph, 0, kb_tri - 1) if kb_tri else 0
+        )
+
+        # --- nearest section (phases 0..B-1)
+        @pl.when(ph < B)
+        def _nearest():
+            alive = sget(ACON) > constants.CONTRIBUTION_EPS
+            ok, tn = slab(
+                lox, loy, loz, hix, hiy, hiz,
+                (sget(OX), sget(OY), sget(OZ)),
+                (sget(NIVX), sget(NIVY), sget(NIVZ)),
+            )
+            keep = ok & alive
+            if prune:
+                # skip boxes entirely beyond every live ray's current
+                # best (relative+absolute margin vs fp slop in tn)
+                keep = keep & (tn <= sget(BTF) * 1.001 + 1e-3)
+            live = jnp.any(keep)
+            if stats:
+                # debug accounting: live nearest sections in bits 10..19
+                # of the counter stream (stats renders are not parity
+                # renders — the counters are repurposed)
+                @pl.when(live)
+                def _():
+                    cnt_ref[...] = cnt_ref[...] + (1 << 10)
+            if kb_sph:
+                cond = live & is_sph if kb_tri else live
+
+                @pl.when(cond)
+                def _():
+                    sphere_nearest(sub_s, keep)
+            if kb_tri:
+                cond = live & ~is_sph if kb_sph else live
+
+                @pl.when(cond)
+                def _():
+                    tri_nearest(sub_t, keep)
+
+        # --- shadow section (phases 1..B)
+        @pl.when(ph > 0)
+        def _shadow():
+            h3 = (sget(HX), sget(HY), sget(HZ))
+            hw_pos = sget(HW) > 0.0
+            skeep = jnp.zeros((TR, LANES), jnp.bool_)
+            for li in range(n_dl):
+                lx, ly, lz = (dl_ref[li * 6 + c] for c in range(3))
+                iv = (cinv(lx), cinv(ly), cinv(lz))
+                ok, _tn = slab(lox, loy, loz, hix, hiy, hiz, h3, iv)
+                pend = hw_pos & (sget(SFOLD[li]) == 0.0)
+                skeep = skeep | (ok & pend)
+            for lj in range(n_pl):
+                d = PL_BASE[lj]
+                iv = (sget(d["ivx"]), sget(d["ivy"]), sget(d["ivz"]))
+                ok, _tn = slab(
+                    lox, loy, loz, hix, hiy, hiz, h3, iv,
+                    tmax=sget(d["tmax"]),
+                )
+                pend = hw_pos & (sget(SFOLD[n_dl + lj]) == 0.0)
+                skeep = skeep | (ok & pend)
+            live = jnp.any(skeep)
+            if stats:
+                # live shadow sections in bits 20..29
+                @pl.when(live)
+                def _():
+                    cnt_ref[...] = cnt_ref[...] + (1 << 20)
+            if kb_sph:
+                cond = live & is_sph if kb_tri else live
+
+                @pl.when(cond)
+                def _():
+                    sphere_shadow(sub_s, skeep)
+            if kb_tri:
+                cond = live & ~is_sph if kb_sph else live
+
+                @pl.when(cond)
+                def _():
+                    tri_shadow(sub_t, skeep)
+
+        return _
+
+    jax.lax.fori_loop(0, K, sweep_body, None)
+
+    # ------------------------------------------------------------------
+    # Final epilogue: last bounce's lighting + sky + outputs
+    # ------------------------------------------------------------------
+
+    @pl.when(ph == B)
+    def _finish():
+        lighting_from_folds()
+        pr, pg, pb = sget(APR), sget(APG), sget(APB)
+        skyw = sget(ASKYW)
+        dx, dy, dz = sget(DX), sget(DY), sget(DZ)
+        cnt = cnt_ref[...]
+        if procedural is not None:
+            skr, skg, skb = _sky_color_procedural(
+                dx, dy, dz, sky_dim, procedural
+            )
+            pr = pr + skyw * skr
+            pg = pg + skyw * skg
+            pb = pb + skyw * skb
+        else:
+            cnt = cnt | (_sky_texel_index(dx, dy, dz, sky_dim) << 10)
+        out_r[0] = pr
+        out_g[0] = pg
+        out_b[0] = pb
+        out_total[0] = sget(ATOT)
+        out_cnt[0] = cnt
+        out_skyw[0] = skyw
+
+
+# ---------------------------------------------------------------------------
+# Host-side wrapper
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "kb_sph", "kb_tri", "n_dl", "n_pl", "sky_dim",
+                     "interpret", "tile_rows", "procedural", "prune",
+                     "n_rows", "n_samples", "stats"),
+)
+def _render_rays_fused(
+    pack: ClusterPack,
+    cam, dl, plt, order, aabb,
+    skybox_flat: jnp.ndarray,
+    cfg: RenderConfig,
+    kb_sph: int,
+    kb_tri: int,
+    n_dl: int,
+    n_pl: int,
+    sky_dim: int,
+    interpret: bool = False,
+    tile_rows: int = TILE_ROWS,
+    procedural: str = None,
+    prune: bool = True,
+    n_rows: int = None,
+    n_samples: int = None,
+    stats: bool = False,
+):
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    if n_rows is None:
+        n_rows = H
+    if n_samples is None:
+        n_samples = N
+    n_rays = W * n_rows * n_samples
+    TR = tile_rows
+    n_tiles = pl.cdiv(n_rays, TR * LANES)
+    B = cfg.bounce_limit
+    n_lights = n_dl + n_pl
+
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    geom_in = []
+    geom_specs = []
+    if kb_sph:
+        geom_in.append(pack.sph)
+        geom_specs.append(pl.BlockSpec(
+            pack.sph.shape, lambda i, p: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+    if kb_tri:
+        geom_in.append(pack.tri)
+        geom_specs.append(pl.BlockSpec(
+            pack.tri.shape, lambda i, p: (0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ))
+
+    def kernel(*refs):
+        cam_r, dl_r, pl_r, order_r, aabb_r = refs[:5]
+        n = 5
+        sph_r = refs[n] if kb_sph else None
+        n += 1 if kb_sph else 0
+        tri_r = refs[n] if kb_tri else None
+        n += 1 if kb_tri else 0
+        outs = refs[n:n + 6]
+        scratch = refs[n + 6:]
+        _fused_kernel(
+            cam_r, dl_r, pl_r, order_r, aabb_r, sph_r, tri_r,
+            *outs, *scratch,
+            cfg=cfg, kb_sph=kb_sph, kb_tri=kb_tri, n_dl=n_dl, n_pl=n_pl,
+            sky_dim=sky_dim, tile_rows=tile_rows, procedural=procedural,
+            prune=prune, n_rows=n_rows, n_samples=n_samples, stats=stats,
+        )
+
+    tile_out = lambda dt: (
+        jax.ShapeDtypeStruct((n_tiles, TR, LANES), dt),
+        pl.BlockSpec((1, TR, LANES), lambda i, p: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    shapes_specs = [
+        tile_out(jnp.float32),  # pix r
+        tile_out(jnp.float32),  # pix g
+        tile_out(jnp.float32),  # pix b
+        tile_out(jnp.float32),  # total
+        tile_out(jnp.int32),  # counters (| sky texel index when textured)
+        tile_out(jnp.float32),  # sky_w
+    ]
+    # state slot count: must equal the kernel's slot map (kernel asserts)
+    # 17 base + n_dl (SDL_OD) + 9*n_pl (PL_BASE) + 7 (hit attrs + hw)
+    # + 6 (accumulators) + 1 (BTF) + n_lights (SFOLD)
+    ns = 31 + 2 * n_dl + 10 * n_pl
+    nq = 9 + n_lights
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles, B + 1),
+        out_shape=[s for s, _ in shapes_specs],
+        in_specs=[smem() for _ in range(5)] + geom_specs,
+        out_specs=[sp for _, sp in shapes_specs],
+        scratch_shapes=[
+            pltpu.VMEM((ns * TR, LANES), jnp.float32),
+            pltpu.VMEM((nq * TR * 8, LANES), jnp.float32),
+            pltpu.VMEM((TR, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )(cam, dl, plt, order, aabb, *geom_in)
+
+    pr, pg, pb, total, counts, sky_w = outs
+
+    def flat(a):
+        return a.reshape(-1)
+
+    # epilogue on the PADDED aligned shape, one end slice (render_pallas
+    # epilogue notes apply)
+    if procedural is None:
+        texel = fetch_packed_texels(skybox_flat, flat(counts) >> 10)
+        c255 = jnp.asarray(255.0, jnp.float32)
+        skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
+        skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
+        skb = (texel & 0xFF).astype(jnp.float32) / c255
+        w = flat(sky_w)
+        total_f = flat(total)
+        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
+        color = Vec3(
+            ((flat(pr) + w * skr) * inv_total)[:n_rays],
+            ((flat(pg) + w * skg) * inv_total)[:n_rays],
+            ((flat(pb) + w * skb) * inv_total)[:n_rays],
+        )
+    else:
+        total_f = flat(total)
+        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
+        color = Vec3(
+            (flat(pr) * inv_total)[:n_rays],
+            (flat(pg) * inv_total)[:n_rays],
+            (flat(pb) * inv_total)[:n_rays],
+        )
+
+    if stats:
+        # debug mode: hand back the raw per-lane counter stream (live
+        # nearest sections ride bits 10..19, live shadow sections bits
+        # 20..29 — identical on every lane of a tile)
+        return color, counts
+    st = flat(counts)
+    bounces = (st & 0x1F).astype(jnp.uint32)
+    hits = ((st >> 5) & 0x1F).astype(jnp.uint32)
+    rays = (bounces + hits * jnp.uint32(n_lights)).sum(dtype=jnp.uint32)
+    return color, rays
+
+
+def render_band_mesh_fused(
+    scene, cfg: RenderConfig, row_offset=0.0, n_rows: int = None, *,
+    sample_offset=0.0, n_samples: int = None,
+    interpret: bool = False, tile_rows: int = TILE_ROWS,
+    prune: bool = True, reduce: str = "avg", stats: bool = False,
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Render a horizontal band x AA-sample slice of a MeshScene frame
+    through the fused kernel (offsets may be traced — shard_map callers
+    pass lax.axis_index-derived offsets, as with
+    render_pallas.render_band_pallas). Returns the (n_rows, W)
+    framebuffer Vec3 + trace count; ``reduce='sum'`` leaves the
+    per-pixel sample SUM for a cross-chip psum."""
+    if cfg.dtype != jnp.float32:
+        raise ValueError("fused mesh path is float32-only")
+    if cfg.bounce_limit > 16:
+        raise ValueError("fused mesh path supports bounce_limit <= 16")
+    if scene.clusters is None:
+        raise ValueError("scene has no cluster pack (clusters=None)")
+    if (
+        scene.skybox.procedural is None
+        and 6 * scene.skybox.dim * scene.skybox.dim > (2**31 - 1) >> 10
+    ):
+        raise ValueError(
+            "fused mesh textured path supports cubemap dim <= 591"
+        )
+    W, N = cfg.width, cfg.rays_per_pixel
+    if n_rows is None:
+        n_rows = cfg.height
+    if n_samples is None:
+        n_samples = N
+    pack = scene.clusters
+    cam = pack_camera(scene.camera, jnp.float32, row_offset, sample_offset)
+    dl = pack_dlights(scene.directional_lights, jnp.float32)
+    plt = pack_plights(scene.point_lights, jnp.float32)
+    origin = scene.camera.frame.origin.astype(jnp.float32)
+    order = order_subclusters(pack, origin)
+    aabb = _aabb_table(pack)
+    color, rays = _render_rays_fused(
+        pack, cam, dl, plt, order, aabb,
+        scene.skybox.packed.reshape(-1),
+        cfg, pack.kb_sph, pack.kb_tri,
+        scene.directional_lights.count, scene.point_lights.count,
+        scene.skybox.dim, interpret, tile_rows,
+        scene.skybox.procedural, prune, n_rows, n_samples, stats,
+    )
+    scale = 1.0 / N if reduce == "avg" else 1.0
+
+    def red(c):
+        return c.reshape(n_samples, n_rows, W).sum(axis=0) * scale
+
+    return Vec3(red(color.x), red(color.y), red(color.z)), rays
+
+
+def render_frame_mesh_fused(
+    scene, cfg: RenderConfig, *, interpret: bool = False,
+    tile_rows: int = TILE_ROWS, prune: bool = True, stats: bool = False,
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Whole-frame fused render of a MeshScene: returns the (H, W)
+    framebuffer Vec3 + trace count. Drop-in for
+    ttrt.render.integrator.render_frame on many-object scenes carrying a
+    cluster pack."""
+    fb, rays = render_band_mesh_fused(
+        scene, cfg, 0.0, cfg.height, interpret=interpret,
+        tile_rows=tile_rows, prune=prune, stats=stats,
+    )
+    return fb, rays

@@ -73,18 +73,15 @@ class PackedScene(NamedTuple):
     plights: jnp.ndarray  # (n_pl*7,) pos3 color3 intensity
 
 
-def pack_scene(scene: Scene, dtype, row_offset=0.0,
-               sample_offset=0.0) -> PackedScene:
-    """Flatten the scene pytree into the SMEM layout. The directional-light
-    direction is pre-negated + guard-normalized here (scalar math, identical
-    bits to the in-loop normalize at TerminalRayTracer.c:905).
-    ``row_offset``/``sample_offset`` (may be traced, e.g. from
-    lax.axis_index under shard_map) shift the kernel's ray-generation rows
-    and AA-sample indices — multi-chip sharding renders one (row band x
-    sample slice) per device."""
-    cam = scene.camera
+def pack_camera(cam, dtype, row_offset=0.0, sample_offset=0.0) -> jnp.ndarray:
+    """(17,) SMEM camera row: basis (9), origin (3), -screen_distance,
+    screen_w/h, row_offset, sample_offset. ``row_offset``/``sample_offset``
+    (may be traced, e.g. from lax.axis_index under shard_map) shift the
+    kernel's ray-generation rows and AA-sample indices — multi-chip
+    sharding renders one (row band x sample slice) per device. Shared by
+    the demo kernel and the fused mesh kernel (ttrt.kernels.mesh_fused)."""
     f = cam.frame
-    cam_flat = jnp.concatenate(
+    return jnp.concatenate(
         [
             f.basis.reshape(-1).astype(dtype),  # rows: bx, by, bz
             f.origin.astype(dtype),
@@ -99,6 +96,35 @@ def pack_scene(scene: Scene, dtype, row_offset=0.0,
             ),
         ]
     )
+
+
+def pack_dlights(dl, dtype) -> jnp.ndarray:
+    """(n_dl*6,) SMEM rows: pre-negated + guard-normalized direction
+    (scalar math, identical bits to the in-loop normalize at
+    TerminalRayTracer.c:905), then color."""
+    neg = Vec3(-dl.direction.x, -dl.direction.y, -dl.direction.z)
+    ndir = neg.normalize()  # guarded (TerminalRayTracer.c:444)
+    return jnp.stack(
+        [ndir.x, ndir.y, ndir.z, dl.color.x, dl.color.y, dl.color.z],
+        axis=-1,
+    ).reshape(-1).astype(dtype)
+
+
+def pack_plights(pls, dtype) -> jnp.ndarray:
+    """(n_pl*7,) SMEM rows: position, color, intensity."""
+    return jnp.stack(
+        [
+            pls.position.x, pls.position.y, pls.position.z,
+            pls.color.x, pls.color.y, pls.color.z, pls.intensity,
+        ],
+        axis=-1,
+    ).reshape(-1).astype(dtype)
+
+
+def pack_scene(scene: Scene, dtype, row_offset=0.0,
+               sample_offset=0.0) -> PackedScene:
+    """Flatten the scene pytree into the SMEM layout."""
+    cam_flat = pack_camera(scene.camera, dtype, row_offset, sample_offset)
 
     sph = scene.spheres
     sph_flat = jnp.stack(
@@ -127,22 +153,8 @@ def pack_scene(scene: Scene, dtype, row_offset=0.0,
         ]
     ).astype(dtype)
 
-    dl = scene.directional_lights
-    neg = Vec3(-dl.direction.x, -dl.direction.y, -dl.direction.z)
-    ndir = neg.normalize()  # guarded (TerminalRayTracer.c:444)
-    dl_flat = jnp.stack(
-        [ndir.x, ndir.y, ndir.z, dl.color.x, dl.color.y, dl.color.z],
-        axis=-1,
-    ).reshape(-1).astype(dtype)
-
-    pls = scene.point_lights
-    pl_flat = jnp.stack(
-        [
-            pls.position.x, pls.position.y, pls.position.z,
-            pls.color.x, pls.color.y, pls.color.z, pls.intensity,
-        ],
-        axis=-1,
-    ).reshape(-1).astype(dtype)
+    dl_flat = pack_dlights(scene.directional_lights, dtype)
+    pl_flat = pack_plights(scene.point_lights, dtype)
 
     return PackedScene(cam_flat, sph_flat, plane_flat, dl_flat, pl_flat)
 

@@ -54,18 +54,23 @@ _PAD_CCR2 = 1.0e30
 class ClusterPack(NamedTuple):
     """Device-resident packed geometry (all float32).
 
-    ``sph``: (5, KB, 8, 16) where [c, k, s, g] is component c of sphere
+    ``sph``: (9, KB, 8, 16) where [c, k, s, g] is component c of sphere
     ``k*128 + g*8 + s`` in Morton order — component rows are cx cy cz
-    ccr2 id with ccr2 = |C|^2 - r^2 precomputed (the narrow kernel's
-    quadratic ``c`` term needs only ccr2, not the radius) and id the
-    ORIGINAL sphere index as f32 (-1 on padding). The trailing (8, 16)
-    page puts 8 consecutive spheres on sublanes so the kernel reads a
-    (8, 1) column and broadcasts it against a (1, 128) ray row — the
-    pair block is a native (8, 128) vreg with zero transposes — while
-    the subcluster axis k is a BlockSpec grid index (Mosaic wants block
-    minor dims equal to the array's, so the 16-group page IS the minor
-    dim).
-    ``tri``: (10, KB, 8, 16) rows v0xyz e1xyz e2xyz id, same layout.
+    ccr2 id cr cg cb refl with ccr2 = |C|^2 - r^2 precomputed (the
+    narrow kernel's quadratic ``c`` term needs only ccr2, not the
+    radius) and id the ORIGINAL sphere index as f32 (-1 on padding).
+    Rows 5..8 are the MATERIAL (color rgb + reflectivity), consumed by
+    the fused whole-frame kernel (ttrt.kernels.mesh_fused) which shades
+    in-kernel and so never gathers by id; the nearest-hit kernel
+    (ttrt.kernels.mesh_pallas) reads only rows 0..4. The trailing
+    (8, 16) page puts 8 consecutive spheres on sublanes so the kernel
+    reads a (8, 1) column and broadcasts it against a (1, 128) ray row —
+    the pair block is a native (8, 128) vreg with zero transposes —
+    while the subcluster axis k is a BlockSpec grid index (Mosaic wants
+    block minor dims equal to the array's, so the 16-group page IS the
+    minor dim).
+    ``tri``: (17, KB, 8, 16) rows v0xyz e1xyz e2xyz id nx ny nz cr cg
+    cb refl, same layout (rows 10..16 again fused-kernel-only).
     ``sph_lo/hi``: (KB_s, 3) radius-inflated cluster AABBs.
     ``tri_lo/hi``: (KB_t, 3) cluster AABBs over all three vertices.
     """
@@ -120,13 +125,15 @@ def pack_clusters(
     spheres: Optional[Spheres],
     triangles: Optional[Triangles],
     *,
-    np_spheres=None,  # ((n,3) centers, (n,) radii) host arrays
+    np_spheres=None,  # (centers (n,3), radii (n,)[, colors (n,3), refl (n,)])
     np_tris=None,  # Triangles.create_np dict
 ) -> ClusterPack:
     """Host-side pack: Morton-sort, chunk into 128-wide clusters, compute
     AABBs, lay out the (C, KB, 8, 16) tables. Pass the geometry as host
     arrays when available — fetching the device leaves back costs up to
-    ~90 s per buffer on tunnel backends."""
+    ~90 s per buffer on tunnel backends. ``np_spheres`` may carry the
+    material (colors, reflectivity) as 3rd/4th entries; otherwise the
+    device material leaves are fetched."""
     f32 = np.float32
 
     def table(rows):  # list of (n_pad,) -> (C, n_pad//128, 8, 16)
@@ -142,17 +149,29 @@ def pack_clusters(
         )
 
     if spheres is not None and spheres.count:
-        if np_spheres is not None:
+        if np_spheres is not None and len(np_spheres) >= 4:
             c = np.asarray(np_spheres[0], f32)
             r = np.asarray(np_spheres[1], f32)
+            col3 = np.asarray(np_spheres[2], f32)
+            refl = np.asarray(np_spheres[3], f32)
         else:
-            c = np.stack(
-                [np.asarray(v, np.float64) for v in spheres.center],
-                axis=-1,
+            if np_spheres is not None:
+                c = np.asarray(np_spheres[0], f32)
+                r = np.asarray(np_spheres[1], f32)
+            else:
+                c = np.stack(
+                    [np.asarray(v, np.float64) for v in spheres.center],
+                    axis=-1,
+                ).astype(f32)
+                r = np.asarray(spheres.radius, f32)
+            mat = spheres.material
+            col3 = np.stack(
+                [np.asarray(v, np.float64) for v in mat.color], axis=-1
             ).astype(f32)
-            r = np.asarray(spheres.radius, f32)
+            refl = np.asarray(mat.reflectivity, f32)
         order = _morton_order(c)
         c, r = c[order], r[order]
+        col3, refl = col3[order], refl[order]
         ccr2 = (c[:, 0] ** 2 + c[:, 1] ** 2 + c[:, 2] ** 2 - r * r).astype(
             f32
         )
@@ -163,6 +182,8 @@ def pack_clusters(
             _pad_cols(c[:, 0], 0.0), _pad_cols(c[:, 1], 0.0),
             _pad_cols(c[:, 2], 0.0), _pad_cols(ccr2, _PAD_CCR2),
             _pad_cols(ids, -1.0),
+            _pad_cols(col3[:, 0], 0.0), _pad_cols(col3[:, 1], 0.0),
+            _pad_cols(col3[:, 2], 0.0), _pad_cols(refl, 0.0),
         ]
         sph = table(cols)
         kb = cols[0].shape[0] // BLOCK
@@ -183,7 +204,7 @@ def pack_clusters(
         sph_lo, sph_hi = jnp.asarray(lo), jnp.asarray(hi)
         sph_valid = jnp.asarray(valid)
     else:
-        sph = jnp.zeros((5, 0, 8, GROUPS), jnp.float32)
+        sph = jnp.zeros((9, 0, 8, GROUPS), jnp.float32)
         sph_lo = jnp.zeros((0, 3), jnp.float32)
         sph_hi = jnp.zeros((0, 3), jnp.float32)
         sph_valid = jnp.zeros((0,), jnp.int32)
@@ -194,6 +215,9 @@ def pack_clusters(
             v0 = np.asarray(np_tris["v0"], f32)
             e1 = np.asarray(np_tris["e1"], f32)
             e2 = np.asarray(np_tris["e2"], f32)
+            nrm = np.asarray(np_tris["normal"], f32)
+            tcol = np.asarray(np_tris["color"], f32)
+            trefl = np.asarray(np_tris["reflectivity"], f32)
         else:
             v0 = np.stack(
                 [np.asarray(v, np.float64) for v in triangles.v0], -1
@@ -204,9 +228,18 @@ def pack_clusters(
             e2 = np.stack(
                 [np.asarray(v, np.float64) for v in triangles.e2], -1
             ).astype(f32)
+            nrm = np.stack(
+                [np.asarray(v, np.float64) for v in triangles.normal], -1
+            ).astype(f32)
+            tcol = np.stack(
+                [np.asarray(v, np.float64)
+                 for v in triangles.material.color], -1
+            ).astype(f32)
+            trefl = np.asarray(triangles.material.reflectivity, f32)
         centroid = v0 + (e1 + e2) / 3.0
         order = _morton_order(centroid)
         v0, e1, e2 = v0[order], e1[order], e2[order]
+        nrm, tcol, trefl = nrm[order], tcol[order], trefl[order]
         # GridHit id convention: triangles follow spheres in one id space
         ids = (order + n_spheres).astype(f32)
         cols = [
@@ -215,7 +248,11 @@ def pack_clusters(
             _pad_cols(e1[:, i], 0.0) for i in range(3)
         ] + [
             _pad_cols(e2[:, i], 0.0) for i in range(3)
-        ] + [_pad_cols(ids, -1.0)]
+        ] + [_pad_cols(ids, -1.0)] + [
+            _pad_cols(nrm[:, i], 0.0) for i in range(3)
+        ] + [
+            _pad_cols(tcol[:, i], 0.0) for i in range(3)
+        ] + [_pad_cols(trefl, 0.0)]
         tri = table(cols)
         kb = cols[0].shape[0] // BLOCK
         pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (m, 3 verts, 3)
@@ -232,7 +269,7 @@ def pack_clusters(
         tri_lo, tri_hi = jnp.asarray(lo), jnp.asarray(hi)
         tri_valid = jnp.asarray(valid)
     else:
-        tri = jnp.zeros((10, 0, 8, GROUPS), jnp.float32)
+        tri = jnp.zeros((17, 0, 8, GROUPS), jnp.float32)
         tri_lo = jnp.zeros((0, 3), jnp.float32)
         tri_hi = jnp.zeros((0, 3), jnp.float32)
         tri_valid = jnp.zeros((0,), jnp.int32)

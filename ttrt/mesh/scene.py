@@ -290,7 +290,7 @@ def many_sphere_scene(
         triangles=tris,
         grid=grid,
         clusters=pack_clusters(spheres, tris,
-                               np_spheres=(centers, radii),
+                               np_spheres=(centers, radii, colors, refl),
                                np_tris=tris_np),
         directional_lights=directional,
         point_lights=point,
