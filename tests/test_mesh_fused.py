@@ -85,7 +85,7 @@ class TestFusedParity:
                 pack.kb_sph, pack.kb_tri,
                 scene.directional_lights.count, scene.point_lights.count,
                 scene.skybox.dim, True, 8, "colors", True,
-                cfg.height, cfg.rays_per_pixel, False,
+                cfg.height, cfg.rays_per_pixel, swizzle=(16, 32),
             )
             return np.asarray(color.x), np.asarray(color.y), rays
 

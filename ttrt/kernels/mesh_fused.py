@@ -139,6 +139,7 @@ def _fused_kernel(
     prune: bool,
     n_rows: int,
     n_samples: int,
+    swizzle,
     stats: bool = False,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
@@ -242,13 +243,35 @@ def _fused_kernel(
             jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 1)
         )
-        idx = i * (TR * LANES) + lane
-        lane_valid = idx < n_rays
-        n_pixels = W * n_rows
-        k = (idx // n_pixels).astype(jnp.float32) + cam_ref[16]
-        pix = idx % n_pixels
-        col = (pix % W).astype(jnp.float32)
-        row = (pix // W).astype(jnp.float32) + cam_ref[15]
+        if swizzle is not None:
+            # SQUARE pixel tiles: tile i covers a (TH, TW) pixel block x
+            # all AA samples (sample = the slow within-tile axis). A
+            # linear tile is a thin W x ~(2048/W) slab whose frustum
+            # spans the whole image width; a square tile's frustum is
+            # ~TWxTH pixels, so the tile-level slab cull and best-t
+            # prune reject far more subclusters. The host epilogue
+            # unscrambles with a static permutation.
+            TW_, TH_ = swizzle
+            tiles_x = pl.cdiv(W, TW_)
+            pp = TH_ * TW_
+            k_i = lane // pp
+            rem = lane - k_i * pp
+            ty = rem // TW_
+            tx = rem - ty * TW_
+            colv = (i % tiles_x) * TW_ + tx
+            rowv = (i // tiles_x) * TH_ + ty
+            lane_valid = (colv < W) & (rowv < n_rows)
+            k = k_i.astype(jnp.float32) + cam_ref[16]
+            col = colv.astype(jnp.float32)
+            row = rowv.astype(jnp.float32) + cam_ref[15]
+        else:
+            idx = i * (TR * LANES) + lane
+            lane_valid = idx < n_rays
+            n_pixels = W * n_rows
+            k = (idx // n_pixels).astype(jnp.float32) + cam_ref[16]
+            pix = idx % n_pixels
+            col = (pix % W).astype(jnp.float32)
+            row = (pix // W).astype(jnp.float32) + cam_ref[15]
 
         bx0, bx1, bx2 = cam_ref[0], cam_ref[1], cam_ref[2]
         by0, by1, by2 = cam_ref[3], cam_ref[4], cam_ref[5]
@@ -467,17 +490,15 @@ def _fused_kernel(
             ok = ok & (tn <= tmax)
         return ok, tn
 
-    def sphere_nearest(sub_s, keep):
-        """Narrow-test the subcluster's 128 spheres against every ray row
-        whose ``keep`` mask has a live lane — rows where the slab test,
-        aliveness, and best-t prune all failed skip the whole 16-group
-        scan (the tile-level ``any(keep)`` gate alone left one straggler
-        row forcing all 16 rows through; per-row gating is what makes
-        near-to-far pruning converge)."""
+    def sphere_nearest(sub_s):
+        """Narrow-test the subcluster's 128 spheres against all TR ray
+        rows. Straight-line only: a per-row pl.when gate was measured
+        CATASTROPHIC on-chip (16.4 -> 39.3 ms/frame at the 10k tier —
+        each scalar branch costs ~300 cycles, and 16 of them per body
+        swamp the culled work). Culling lives at tile granularity."""
         pages = [sph_ref[c, sub_s] for c in (0, 1, 2, 3, 5, 6, 7, 8)]
         for r in range(TR):
-            @pl.when(jnp.any(keep[r:r + 1, :]))
-            def _(r=r):
+            if True:  # (kept indentation; no per-row gate — see docstring)
                 ox, oy, oz = srow(OX, r), srow(OY, r), srow(OZ, r)
                 dx, dy, dz = srow(DX, r), srow(DY, r), srow(DZ, r)
                 pod, poo = srow(POD, r), srow(POO, r)
@@ -524,13 +545,11 @@ def _fused_kernel(
                     st_ref[BTF * TR + r: BTF * TR + r + 1, :], v
                 ))
 
-    def tri_nearest(sub_t, keep):
+    def tri_nearest(sub_t):
         comps = [tri_ref[c, sub_t] for c in
                  (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16)]
         for r in range(TR):
-            @pl.when(jnp.any(keep[r:r + 1, :]))
-            def _(r=r):
-                _tri_nearest_row(comps, r)
+            _tri_nearest_row(comps, r)
 
     def _tri_nearest_row(comps, r):
             ox, oy, oz = srow(OX, r), srow(OY, r), srow(OZ, r)
@@ -584,12 +603,10 @@ def _fused_kernel(
                 st_ref[BTF * TR + r: BTF * TR + r + 1, :], v
             ))
 
-    def sphere_shadow(sub_s, keep):
+    def sphere_shadow(sub_s):
         pages = [sph_ref[c, sub_s] for c in (0, 1, 2, 3)]
         for r in range(TR):
-            @pl.when(jnp.any(keep[r:r + 1, :]))
-            def _(r=r):
-                _sphere_shadow_row(pages, r)
+            _sphere_shadow_row(pages, r)
 
     def _sphere_shadow_row(pages, r):
             hx, hy, hz = srow(HX, r), srow(HY, r), srow(HZ, r)
@@ -639,12 +656,10 @@ def _fused_kernel(
                     st_ref[k * TR + r: k * TR + r + 1, :], v
                 ))
 
-    def tri_shadow(sub_t, keep):
+    def tri_shadow(sub_t):
         comps = [tri_ref[c, sub_t] for c in range(9)]
         for r in range(TR):
-            @pl.when(jnp.any(keep[r:r + 1, :]))
-            def _(r=r):
-                _tri_shadow_row(comps, r)
+            _tri_shadow_row(comps, r)
 
     def _tri_shadow_row(comps, r):
             hx, hy, hz = srow(HX, r), srow(HY, r), srow(HZ, r)
@@ -738,13 +753,13 @@ def _fused_kernel(
 
                 @pl.when(cond)
                 def _():
-                    sphere_nearest(sub_s, keep)
+                    sphere_nearest(sub_s)
             if kb_tri:
                 cond = live & ~is_sph if kb_sph else live
 
                 @pl.when(cond)
                 def _():
-                    tri_nearest(sub_t, keep)
+                    tri_nearest(sub_t)
 
         # --- shadow section (phases 1..B)
         @pl.when(ph > 0)
@@ -778,13 +793,13 @@ def _fused_kernel(
 
                 @pl.when(cond)
                 def _():
-                    sphere_shadow(sub_s, skeep)
+                    sphere_shadow(sub_s)
             if kb_tri:
                 cond = live & ~is_sph if kb_sph else live
 
                 @pl.when(cond)
                 def _():
-                    tri_shadow(sub_t, skeep)
+                    tri_shadow(sub_t)
 
         return _
 
@@ -827,7 +842,7 @@ def _fused_kernel(
     jax.jit,
     static_argnames=("cfg", "kb_sph", "kb_tri", "n_dl", "n_pl", "sky_dim",
                      "interpret", "tile_rows", "procedural", "prune",
-                     "n_rows", "n_samples", "stats"),
+                     "n_rows", "n_samples", "swizzle", "stats"),
 )
 def _render_rays_fused(
     pack: ClusterPack,
@@ -845,6 +860,7 @@ def _render_rays_fused(
     prune: bool = True,
     n_rows: int = None,
     n_samples: int = None,
+    swizzle=None,
     stats: bool = False,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
@@ -854,7 +870,27 @@ def _render_rays_fused(
         n_samples = N
     n_rays = W * n_rows * n_samples
     TR = tile_rows
-    n_tiles = pl.cdiv(n_rays, TR * LANES)
+    if swizzle is not None:
+        TW_, TH_ = swizzle
+        assert TW_ * TH_ * n_samples == TR * LANES, (swizzle, TR)
+        tiles_x = -(-W // TW_)
+        tiles_y = -(-n_rows // TH_)
+        n_tiles = tiles_x * tiles_y
+        # static unscramble: linear ray index -> swizzled lane position
+        s = np.arange(n_tiles * TR * LANES)
+        i_t, l = s // (TR * LANES), s % (TR * LANES)
+        pp = TH_ * TW_
+        k_, rem = l // pp, l % pp
+        colv = (i_t % tiles_x) * TW_ + rem % TW_
+        rowv = (i_t // tiles_x) * TH_ + rem // TW_
+        valid = (colv < W) & (rowv < n_rows)
+        lin = k_ * (n_rows * W) + rowv * W + colv
+        lin2s = np.empty(n_rays, np.int32)
+        lin2s[lin[valid]] = s[valid]
+        unscramble = jnp.asarray(lin2s)
+    else:
+        n_tiles = pl.cdiv(n_rays, TR * LANES)
+        unscramble = None
     B = cfg.bounce_limit
     n_lights = n_dl + n_pl
 
@@ -888,7 +924,8 @@ def _render_rays_fused(
             *outs, *scratch,
             cfg=cfg, kb_sph=kb_sph, kb_tri=kb_tri, n_dl=n_dl, n_pl=n_pl,
             sky_dim=sky_dim, tile_rows=tile_rows, procedural=procedural,
-            prune=prune, n_rows=n_rows, n_samples=n_samples, stats=stats,
+            prune=prune, n_rows=n_rows, n_samples=n_samples,
+            swizzle=swizzle, stats=stats,
         )
 
     tile_out = lambda dt: (
@@ -928,8 +965,12 @@ def _render_rays_fused(
     def flat(a):
         return a.reshape(-1)
 
-    # epilogue on the PADDED aligned shape, one end slice (render_pallas
-    # epilogue notes apply)
+    # epilogue on the PADDED aligned shape; the final gather is either a
+    # contiguous end-slice (linear order) or the static swizzle
+    # unscramble permutation (render_pallas epilogue notes apply)
+    def unpad(a):
+        return a[:n_rays] if unscramble is None else a[unscramble]
+
     if procedural is None:
         texel = fetch_packed_texels(skybox_flat, flat(counts) >> 10)
         c255 = jnp.asarray(255.0, jnp.float32)
@@ -940,17 +981,17 @@ def _render_rays_fused(
         total_f = flat(total)
         inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
-            ((flat(pr) + w * skr) * inv_total)[:n_rays],
-            ((flat(pg) + w * skg) * inv_total)[:n_rays],
-            ((flat(pb) + w * skb) * inv_total)[:n_rays],
+            unpad((flat(pr) + w * skr) * inv_total),
+            unpad((flat(pg) + w * skg) * inv_total),
+            unpad((flat(pb) + w * skb) * inv_total),
         )
     else:
         total_f = flat(total)
         inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
-            (flat(pr) * inv_total)[:n_rays],
-            (flat(pg) * inv_total)[:n_rays],
-            (flat(pb) * inv_total)[:n_rays],
+            unpad(flat(pr) * inv_total),
+            unpad(flat(pg) * inv_total),
+            unpad(flat(pb) * inv_total),
         )
 
     if stats:
@@ -969,7 +1010,8 @@ def render_band_mesh_fused(
     scene, cfg: RenderConfig, row_offset=0.0, n_rows: int = None, *,
     sample_offset=0.0, n_samples: int = None,
     interpret: bool = False, tile_rows: int = TILE_ROWS,
-    prune: bool = True, reduce: str = "avg", stats: bool = False,
+    prune: bool = True, reduce: str = "avg", swizzle="auto",
+    stats: bool = False,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Render a horizontal band x AA-sample slice of a MeshScene frame
     through the fused kernel (offsets may be traced — shard_map callers
@@ -995,6 +1037,17 @@ def render_band_mesh_fused(
         n_rows = cfg.height
     if n_samples is None:
         n_samples = N
+    if swizzle == "auto":
+        # square-ish (TH, TW) pixel tiles covering all AA samples; fall
+        # back to linear lane order when the shapes don't divide
+        lanes_per_tile = tile_rows * LANES
+        pp = lanes_per_tile // n_samples
+        tw = 32 if pp % 32 == 0 else (16 if pp % 16 == 0 else 0)
+        swizzle = (tw, pp // tw) if (
+            tw and lanes_per_tile % n_samples == 0
+        ) else None
+    if stats:
+        swizzle = None  # stats probes read raw per-tile counters
     pack = scene.clusters
     cam = pack_camera(scene.camera, jnp.float32, row_offset, sample_offset)
     dl = pack_dlights(scene.directional_lights, jnp.float32)
@@ -1008,7 +1061,7 @@ def render_band_mesh_fused(
         cfg, pack.kb_sph, pack.kb_tri,
         scene.directional_lights.count, scene.point_lights.count,
         scene.skybox.dim, interpret, tile_rows,
-        scene.skybox.procedural, prune, n_rows, n_samples, stats,
+        scene.skybox.procedural, prune, n_rows, n_samples, swizzle, stats,
     )
     scale = 1.0 / N if reduce == "avg" else 1.0
 
@@ -1020,7 +1073,8 @@ def render_band_mesh_fused(
 
 def render_frame_mesh_fused(
     scene, cfg: RenderConfig, *, interpret: bool = False,
-    tile_rows: int = TILE_ROWS, prune: bool = True, stats: bool = False,
+    tile_rows: int = TILE_ROWS, prune: bool = True, swizzle="auto",
+    stats: bool = False,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Whole-frame fused render of a MeshScene: returns the (H, W)
     framebuffer Vec3 + trace count. Drop-in for
@@ -1028,6 +1082,6 @@ def render_frame_mesh_fused(
     cluster pack."""
     fb, rays = render_band_mesh_fused(
         scene, cfg, 0.0, cfg.height, interpret=interpret,
-        tile_rows=tile_rows, prune=prune, stats=stats,
+        tile_rows=tile_rows, prune=prune, swizzle=swizzle, stats=stats,
     )
     return fb, rays
