@@ -311,7 +311,27 @@ def bench_many_object() -> dict:
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
 
     series = TimeSeries(cfg.dtype, base=1300.0, step=0.21)
-    sec, outs = _throughput(step, scene, series, n_small=3, n_big=9)
+
+    # PRODUCTION path: the monolithic fused kernel (one pallas_call per
+    # frame — primary rays, every bounce, every shadow ray, shading)
+    from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+
+    @jax.jit
+    def step_fused(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        fb, rays = render_frame_mesh_fused(
+            scene.with_camera_frame(frame), cfg
+        )
+        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+
+    sec_f, outs_f = _throughput(step_fused, scene, series, n_small=3,
+                                n_big=9)
+
+    # round-2 comparison point: the launch-per-trace cluster kernel
+    sec, outs = _throughput(step, scene, series, n_small=3, n_big=9,
+                            repeats=1)
 
     # comparison point: the XLA dense tester at precision=HIGHEST (the
     # only numerically sound non-Pallas path — round-1's 6.6 Mray/s was
@@ -333,6 +353,7 @@ def bench_many_object() -> dict:
         step_dense, scene_dense, series, n_small=3, n_big=9, repeats=1
     )
     return {
+        "mrays_10k_fused": int(outs_f[-1][1]) / sec_f / 1e6,
         "mrays_10k_cluster": int(outs[-1][1]) / sec / 1e6,
         "mrays_10k_dense_corrected": int(outs_d[-1][1]) / sec_d / 1e6,
         "grid_dims": list(scene.grid.dims),

@@ -600,10 +600,16 @@ def _render_kernel_acc(
 
 
 def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
-                  dl_vals, pl_vals, bounce_limit: int):
+                  dl_vals, pl_vals, bounce_limit: int, shade: bool = True):
     """The fully-unrolled masked bounce loop shared by both kernel
     layouts; returns accumulators + the final (frozen-on-death) direction
-    (see _render_kernel for the rationale and semantics notes)."""
+    (see _render_kernel for the rationale and semantics notes).
+
+    ``shade=False`` skips the lighting evaluation (and its shadow traces)
+    entirely: the contrib/sky_w/direction chain is unchanged — lighting
+    never feeds it — so the returned sky_w/count/d match the shaded chain
+    bit-for-bit while costing only the nearest-hit traces. Used by the
+    textured path's dedicated sky-weight kernel."""
     zero = jnp.zeros_like(dx)
     pr, pg, pb = zero, zero, zero
     contrib = jnp.where(lane_valid, 1.0, 0.0).astype(dx.dtype)
@@ -617,15 +623,17 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
         miss_now = alive & ~hit.is_hit
         upd = alive & hit.is_hit
 
-        lr, lg, lb = _apply_lighting(
-            hit.px, hit.py, hit.pz, hit.nx, hit.ny, hit.nz,
-            hit.cr, hit.cg, hit.cb, dl_vals, pl_vals, sph_vals, plane_vals,
-        )
         aw = jnp.where(alive, contrib, 0.0)
-        hw = jnp.where(hit.is_hit, aw, 0.0)
-        pr = pr + hw * lr
-        pg = pg + hw * lg
-        pb = pb + hw * lb
+        if shade:
+            lr, lg, lb = _apply_lighting(
+                hit.px, hit.py, hit.pz, hit.nx, hit.ny, hit.nz,
+                hit.cr, hit.cg, hit.cb, dl_vals, pl_vals, sph_vals,
+                plane_vals,
+            )
+            hw = jnp.where(hit.is_hit, aw, 0.0)
+            pr = pr + hw * lr
+            pg = pg + hw * lg
+            pb = pb + hw * lb
         total = total + aw
         sky_w = jnp.where(miss_now, contrib, sky_w)
         contrib = jnp.where(
@@ -654,29 +662,15 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
     return pr, pg, pb, total, sky_w, count, dx, dy, dz
 
 
-def _render_kernel(
-    cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
-    pix_r_ref, pix_g_ref, pix_b_ref, total_ref, count_ref,  # VMEM outputs
-    sky_w_ref=None,  # VMEM output (textured path only)
-    *,
-    cfg: RenderConfig,
-    n_spheres: int,
-    n_dl: int,
-    n_pl: int,
-    sky_dim: int,
-    tile_r: int,
-    procedural: str = None,
-    n_rows: int = None,
-    n_samples: int = None,
-):
+def _gen_primary_rays(cam_ref, *, cfg: RenderConfig, tile_r: int,
+                      n_rows: int, n_samples: int):
+    """Ray generation from the lane index (TerminalRayTracer.c:978-1011):
+    returns (ox, oy, oz, dx, dy, dz, lane_valid) for this grid step's
+    (tile_r, LANES) tile. Shared by the render kernel and the textured
+    path's sky-weight kernel — both MUST see bit-identical rays."""
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
-    if n_rows is None:
-        n_rows = H
-    if n_samples is None:
-        n_samples = N  # local AA-sample slice (multi-chip sample sharding)
     n_rays = W * n_rows * n_samples
 
-    # --- ray generation from the lane index (TerminalRayTracer.c:978-1011)
     step = pl.program_id(0)
     base = step * (tile_r * LANES)
     lane = (
@@ -730,12 +724,73 @@ def _render_kernel(
     ox = jnp.full_like(dx, cox)
     oy = jnp.full_like(dx, coy)
     oz = jnp.full_like(dx, coz)
+    return ox, oy, oz, dx, dy, dz, lane_valid
+
+
+def _sky_weight_kernel(
+    cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
+    sky_w_ref,  # VMEM output: per-ray sky weight
+    *,
+    cfg: RenderConfig,
+    n_spheres: int,
+    n_dl: int,
+    n_pl: int,
+    tile_r: int,
+    n_rows: int,
+    n_samples: int,
+):
+    """Trace-only companion kernel for the ghost (decoy-sky) textured
+    variant: replays the exact bounce chain of _render_kernel with
+    shading skipped (shade=False drops _apply_lighting and its shadow
+    traces — none of it feeds the contrib chain) and writes ONLY the
+    per-ray sky weight, bit-identical to the shaded chain's. Measured
+    ~1.0 ms at the bench workload vs ~2.2 for the shaded kernel. Part of
+    the off-by-default cliff insurance — see render_frame_pallas."""
+    ox, oy, oz, dx, dy, dz, lane_valid = _gen_primary_rays(
+        cam_ref, cfg=cfg, tile_r=tile_r, n_rows=n_rows, n_samples=n_samples
+    )
+    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
+    plane_vals = tuple(plane_ref[i] for i in range(14))
+    dl_vals = _read_tuples(dl_ref, n_dl, 6)
+    pl_vals = _read_tuples(pl_ref, n_pl, 7)
+    (_, _, _, _, sky_w, _, _, _, _) = _bounce_chain(
+        ox, oy, oz, dx, dy, dz, lane_valid,
+        sph_vals, plane_vals, dl_vals, pl_vals, cfg.bounce_limit,
+        shade=False,
+    )
+    sky_w_ref[0] = sky_w
+
+
+def _render_kernel(
+    cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
+    pix_r_ref, pix_g_ref, pix_b_ref, total_ref, count_ref,  # VMEM outputs
+    sky_w_ref=None,  # VMEM output (textured path only)
+    *,
+    cfg: RenderConfig,
+    n_spheres: int,
+    n_dl: int,
+    n_pl: int,
+    sky_dim: int,
+    tile_r: int,
+    procedural: str = None,
+    ghost: str = None,
+    n_rows: int = None,
+    n_samples: int = None,
+):
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    if n_rows is None:
+        n_rows = H
+    if n_samples is None:
+        n_samples = N  # local AA-sample slice (multi-chip sample sharding)
+
+    ox, oy, oz, dx, dy, dz, lane_valid = _gen_primary_rays(
+        cam_ref, cfg=cfg, tile_r=tile_r, n_rows=n_rows, n_samples=n_samples
+    )
 
     sph_vals = _read_tuples(sph_ref, n_spheres, 8)
     plane_vals = tuple(plane_ref[i] for i in range(14))
     dl_vals = _read_tuples(dl_ref, n_dl, 6)
     pl_vals = _read_tuples(pl_ref, n_pl, 7)
-
     # --- masked bounce loop (project_scene, TerminalRayTracer.c:1012-1057)
     #
     # The loop is FULLY UNROLLED as straight-line SSA code — no
@@ -771,6 +826,26 @@ def _render_kernel(
         pr = pr + sky_w * skr
         pg = pg + sky_w * skg
         pb = pb + sky_w * skb
+    elif ghost is not None:
+        # DECOY-SKY textured variant (insurance, off by default — see
+        # render_frame_pallas): folds a REAL decoy procedural sky
+        # ('colors' — texel values exactly 0.0/1.0) into the accumulators
+        # and does NOT write sky_w (a separate lighting-free kernel,
+        # _sky_weight_kernel, re-traces the bounce chain for it); the XLA
+        # epilogue cancels the decoy, recomputed bit-exactly from the
+        # counter-stream texel index (face = idx // dim^2, face-color
+        # table), applying pr + sky_w*(texel - decoy). Cancellation error
+        # is <= 1-2 ulp of the pre-quantization color (the same class as
+        # compiler FMA-contraction drift, within the quantized-parity
+        # knife tolerance). Built while chasing round-2's "Mosaic
+        # scheduling cliff"; the 2026-08-17 re-measurement showed the
+        # plain textured kernel has compiled fast since the texel index
+        # moved into the counter stream, so this path now serves only as
+        # a guard if a future toolchain regresses the plain shape.
+        skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, ghost)
+        pr = pr + sky_w * skr
+        pg = pg + sky_w * skg
+        pb = pb + sky_w * skb
     pix_r_ref[0] = pr
     pix_g_ref[0] = pg
     pix_b_ref[0] = pb
@@ -781,7 +856,8 @@ def _render_kernel(
         count_ref[0] = count | (
             _sky_texel_index(dx, dy, dz, sky_dim) << 10
         )
-        sky_w_ref[0] = sky_w
+        if ghost is None:
+            sky_w_ref[0] = sky_w
     else:
         count_ref[0] = count
 
@@ -793,7 +869,7 @@ def _render_kernel(
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "n_spheres", "n_dl", "n_pl", "sky_dim",
-                              "interpret", "tile_r", "procedural",
+                              "interpret", "tile_r", "procedural", "ghost",
                               "accumulate", "n_rows", "n_samples")
 )
 def _render_rays_pallas(
@@ -807,6 +883,7 @@ def _render_rays_pallas(
     interpret: bool = False,
     tile_r: int = TILE_R,
     procedural: str = None,
+    ghost: str = None,
     accumulate: bool = False,
     n_rows: int = None,
     n_samples: int = None,
@@ -816,6 +893,11 @@ def _render_rays_pallas(
         n_rows = H
     if n_samples is None:
         n_samples = N
+    ghost = ghost if procedural is None else None
+    if ghost is not None and ghost != "colors":
+        # the epilogue cancellation recomputes the decoy from the texel
+        # index's FACE alone, which only the 'colors' pattern allows
+        raise ValueError(f"ghost decoy sky must be 'colors', got {ghost!r}")
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def count_to_rays(stats):
@@ -889,6 +971,7 @@ def _render_rays_pallas(
         sky_dim=sky_dim,
         tile_r=tile_r,
         procedural=procedural,
+        ghost=ghost if procedural is None else None,
         n_rows=n_rows,
         n_samples=n_samples,
     )
@@ -905,10 +988,11 @@ def _render_rays_pallas(
         tile_out(jnp.float32),  # total
         tile_out(jnp.int32),  # packed per-lane trace counters
     ]
-    if procedural is None:
+    if procedural is None and ghost is None:
         # NOTE: the sky texel index shares the counter stream (bits
         # 10..28) — every extra pallas output stream measurably slows
-        # the launch, so the textured path adds only sky_w
+        # the launch, so the textured path adds only sky_w (and the
+        # production ghost path moves even that to a second kernel)
         shapes_specs += [
             tile_out(jnp.float32),  # sky_w
         ]
@@ -938,15 +1022,49 @@ def _render_rays_pallas(
         return a.reshape(-1)
 
     if procedural is None:
-        pr, pg, pb, total, counts, sky_w = outs
+        if ghost is not None:
+            pr, pg, pb, total, counts = outs
+            # sky_w comes from the dedicated lighting-free trace kernel
+            # (see _sky_weight_kernel for why it is split out)
+            sky_w = pl.pallas_call(
+                functools.partial(
+                    _sky_weight_kernel,
+                    cfg=cfg, n_spheres=n_spheres, n_dl=n_dl, n_pl=n_pl,
+                    tile_r=tile_r, n_rows=n_rows, n_samples=n_samples,
+                ),
+                grid=(n_tiles,),
+                out_shape=tile_out(jnp.float32)[0],
+                in_specs=[smem() for _ in range(5)],
+                out_specs=tile_out(jnp.float32)[1],
+                interpret=interpret,
+            )(packed.cam, packed.spheres, packed.plane, packed.dlights,
+              packed.plights)
+        else:
+            pr, pg, pb, total, counts, sky_w = outs
         # deferred skybox fetch + final normalization (texels are packed
         # 0x00RRGGBB so each ray needs ONE 4-byte texel); the index is
         # unpacked from the counter stream
-        texel = fetch_packed_texels(skybox_flat, flat(counts) >> 10)
+        idx = flat(counts) >> 10
+        texel = fetch_packed_texels(skybox_flat, idx)
         c255 = jnp.asarray(255.0, jnp.float32)
         skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
         skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
         skb = (texel & 0xFF).astype(jnp.float32) / c255
+        if ghost is not None:
+            # cancel the kernel's decoy 'colors' fold: recompute the decoy
+            # value from the texel index's face (bit-exact — decoy texels
+            # are exactly 0.0/1.0 per face) and apply pr + w*(texel-decoy)
+            face = (idx // (sky_dim * sky_dim)).astype(jnp.int32)
+
+            def face_sel(col):
+                out = jnp.full(idx.shape, float(col[0]), jnp.float32)
+                for f in range(1, 6):
+                    out = jnp.where(face == f, float(col[f]), out)
+                return out
+
+            skr = skr - face_sel([c[0] for c in _FACE_COLORS01])
+            skg = skg - face_sel([c[1] for c in _FACE_COLORS01])
+            skb = skb - face_sel([c[2] for c in _FACE_COLORS01])
 
         w = flat(sky_w)
         total_f = flat(total)
@@ -971,10 +1089,25 @@ def _render_rays_pallas(
 
 def render_frame_pallas(
     scene: Scene, cfg: RenderConfig, *, interpret: bool = False,
-    tile_r: int = TILE_R,
+    tile_r: int = TILE_R, ghost_sky: str = None,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Drop-in replacement for ttrt.render.integrator.render_frame on the
     Pallas path: returns the (H, W) framebuffer Vec3 + trace count.
+
+    ``ghost_sky='colors'`` switches the image-cubemap (textured) path to
+    the decoy-sky split (fast-shape main kernel + lighting-free sky-weight
+    kernel, see _render_kernel / _sky_weight_kernel). Kept as INSURANCE
+    against the Mosaic scheduling cliff recurring: measured 2026-08-17,
+    the plain textured kernel compiles fast (~2.2 ms at the bench
+    workload, same as the ghost main kernel) ever since the sky texel
+    index moved into the counter stream, so the split's extra ~1 ms
+    sky-weight trace is pure overhead today and the default is None.
+    The textured tier's remaining gap vs procedural is ENTIRELY the XLA
+    texel gather (~2.4-3 cycles/fetch at 1.34M fetches/frame, invariant
+    to row width 8-128, index coherence, index layout, and table size
+    down to 6K entries — 7 formulations measured; Mosaic offers no
+    arbitrary-index in-kernel gather to beat it). Ignored for procedural
+    skyboxes.
 
     Restrictions vs the fused-XLA path: float32 only, nearest-neighbor
     skybox (the reference's semantics; bilinear is an extension served by
@@ -1016,6 +1149,7 @@ def render_frame_pallas(
         interpret,
         tile_r,
         scene.skybox.procedural,
+        ghost=ghost_sky,
     )
     H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
 
@@ -1037,6 +1171,7 @@ def render_band_pallas(
     scene: Scene, cfg: RenderConfig, row_offset, n_rows: int, *,
     sample_offset=0.0, n_samples: int = None,
     interpret: bool = False, tile_r: int = TILE_R, reduce: str = "avg",
+    ghost_sky: str = None,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Render a horizontal band of ``n_rows`` image rows starting at
     ``row_offset`` and the AA-sample slice [sample_offset,
@@ -1066,9 +1201,10 @@ def render_band_pallas(
         interpret,
         tile_r,
         scene.skybox.procedural,
-        False,
-        n_rows,
-        n_samples,
+        ghost=ghost_sky,
+        accumulate=False,
+        n_rows=n_rows,
+        n_samples=n_samples,
     )
 
     scale = 1.0 / N if reduce == "avg" else 1.0
