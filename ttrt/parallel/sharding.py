@@ -197,6 +197,64 @@ def pathtrace_frame_sharded(
     return body(scene, key)
 
 
+def render_frame_sharded_mesh_fused(
+    scene, cfg: RenderConfig, mesh: Mesh, *, interpret: bool = False,
+    tile_rows: int = None,
+) -> Tuple[Vec3, jnp.ndarray]:
+    """Multi-chip rendering of a many-object MeshScene through the
+    monolithic fused kernel (ttrt.kernels.mesh_fused) over the
+    ('rows', 'samples') mesh. Rays are embarrassingly parallel, so the
+    sharding is identical to render_frame_sharded_pallas: each device
+    renders its (row band x AA-sample slice) in ONE kernel launch — the
+    cluster pack, AABB table and visit order are replicated — and one
+    psum over 'samples' combines per-pixel partial sums before the global
+    divide (TerminalRayTracer.c:1061-1065 reassociated across chips).
+
+    ``interpret=True`` validates the shard_map plumbing on a virtual CPU
+    mesh (the driver dryrun's tier-3 path)."""
+    from ttrt.kernels.mesh_fused import TILE_ROWS, render_band_mesh_fused
+
+    if tile_rows is None:
+        # production default on TPU; interpret (CPU validation) programs
+        # use the small tile the fused parity tests use — the full 16-row
+        # body takes XLA:CPU many minutes to compile
+        tile_rows = 8 if interpret else TILE_ROWS
+    _check_divisible(cfg, mesh)
+    n_rows_axis = mesh.shape["rows"]
+    n_samp_axis = mesh.shape.get("samples", 1)
+    rows_per = cfg.height // n_rows_axis
+    samples_per = cfg.rays_per_pixel // n_samp_axis
+    inv_n = 1.0 / cfg.rays_per_pixel
+
+    @jax.shard_map(
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=(P("rows", None), P()),
+        check_vma=False,
+    )
+    def body(scene_rep):
+        i = jax.lax.axis_index("rows")
+        j = jax.lax.axis_index("samples")
+        fb, count = render_band_mesh_fused(
+            scene_rep, cfg,
+            (i * rows_per).astype(cfg.dtype), rows_per,
+            sample_offset=(j * samples_per).astype(cfg.dtype),
+            n_samples=samples_per,
+            interpret=interpret,
+            tile_rows=tile_rows,
+            reduce="sum",
+        )
+        fb = Vec3(
+            jax.lax.psum(fb.x, "samples") * inv_n,
+            jax.lax.psum(fb.y, "samples") * inv_n,
+            jax.lax.psum(fb.z, "samples") * inv_n,
+        )
+        total = jax.lax.psum(jax.lax.psum(count, "samples"), "rows")
+        return fb, total
+
+    return body(scene)
+
+
 def render_frame_sharded_pallas(
     scene: Scene, cfg: RenderConfig, mesh: Mesh, *, interpret: bool = False
 ) -> Tuple[Vec3, jnp.ndarray]:
