@@ -141,6 +141,7 @@ def _fused_kernel(
     n_samples: int,
     swizzle,
     stats: bool = False,
+    debug_sweep: str = None,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
     B = cfg.bounce_limit
@@ -709,70 +710,70 @@ def _fused_kernel(
                 qrow_set(q, r, v)
             _sh_fold_row(sh, r)
 
-    def sweep_body(s, _):
-        sub = order_ref[s]
+    # The sweep runs in CHUNKS of 8 subclusters. Round-3 profiling (see
+    # scratch/fused_breakdown.py + README roofline notes): the original
+    # one-subcluster-at-a-time sweep paid ~2 vector->scalar syncs per
+    # subcluster per (tile, phase) — each jnp.any() reduction that feeds
+    # a pl.when stalls the vector pipeline ~300 cycles — totalling
+    # ~3.5 ms/frame at the 10k bench tier, 22% of the frame. The chunked
+    # sweep computes EIGHT subclusters' nearest+shadow live flags
+    # entirely in the vector domain (bit 2j = nearest live, 2j+1 =
+    # shadow live of chunk member j), OR-folds them across
+    # sublanes/lanes, and extracts the packed mask with ONE scalar sync;
+    # the inner 8-iteration fori then branches on cheap scalar bit
+    # tests. Semantics are IDENTICAL (the per-subcluster keep masks are
+    # unchanged; the best-t prune reads a <=7-subcluster-stale BTF,
+    # which only ever widens the conservative keep set).
+    CHUNK = 8
+
+    def _sub_info(sub):
         lox = aabb_ref[sub, 0]
         loy = aabb_ref[sub, 1]
         loz = aabb_ref[sub, 2]
         hix = aabb_ref[sub, 3]
         hiy = aabb_ref[sub, 4]
         hiz = aabb_ref[sub, 5]
-        if kb_sph and kb_tri:
-            is_sph = sub < kb_sph
-        else:
-            is_sph = kb_sph > 0  # static
-        sub_s = jnp.minimum(sub, kb_sph - 1) if kb_sph else 0
-        sub_t = (
-            jnp.clip(sub - kb_sph, 0, kb_tri - 1) if kb_tri else 0
-        )
+        return lox, loy, loz, hix, hiy, hiz
 
-        # --- nearest section (phases 0..B-1)
-        @pl.when(ph < B)
-        def _nearest():
-            alive = sget(ACON) > constants.CONTRIBUTION_EPS
-            ok, tn = slab(
-                lox, loy, loz, hix, hiy, hiz,
-                (sget(OX), sget(OY), sget(OZ)),
-                (sget(NIVX), sget(NIVY), sget(NIVZ)),
-            )
+    def chunk_flags(c):
+        """Packed int32 live-bit mask for chunk ``c`` — one sync total."""
+        nearest_on = ph < B
+        shadow_on = ph > 0
+        alive = sget(ACON) > constants.CONTRIBUTION_EPS
+        btf = sget(BTF)
+        o3 = (sget(OX), sget(OY), sget(OZ))
+        iv3 = (sget(NIVX), sget(NIVY), sget(NIVZ))
+        h3 = (sget(HX), sget(HY), sget(HZ))
+        hw_pos = sget(HW) > 0.0
+        pend_dl = [
+            hw_pos & (sget(SFOLD[li]) == 0.0) for li in range(n_dl)
+        ]
+        pend_pl = [
+            hw_pos & (sget(SFOLD[n_dl + lj]) == 0.0) for lj in range(n_pl)
+        ]
+        dl_iv = [
+            tuple(cinv(dl_ref[li * 6 + cc]) for cc in range(3))
+            for li in range(n_dl)
+        ]
+        bits = jnp.zeros((TR, LANES), jnp.int32)
+        for j in range(CHUNK):
+            sub = order_ref[c * CHUNK + j]
+            lox, loy, loz, hix, hiy, hiz = _sub_info(sub)
+            ok, tn = slab(lox, loy, loz, hix, hiy, hiz, o3, iv3)
             keep = ok & alive
             if prune:
                 # skip boxes entirely beyond every live ray's current
                 # best (relative+absolute margin vs fp slop in tn)
-                keep = keep & (tn <= sget(BTF) * 1.001 + 1e-3)
-            live = jnp.any(keep)
-            if stats:
-                # debug accounting: live nearest sections in bits 10..19
-                # of the counter stream (stats renders are not parity
-                # renders — the counters are repurposed)
-                @pl.when(live)
-                def _():
-                    cnt_ref[...] = cnt_ref[...] + (1 << 10)
-            if kb_sph:
-                cond = live & is_sph if kb_tri else live
-
-                @pl.when(cond)
-                def _():
-                    sphere_nearest(sub_s)
-            if kb_tri:
-                cond = live & ~is_sph if kb_sph else live
-
-                @pl.when(cond)
-                def _():
-                    tri_nearest(sub_t)
-
-        # --- shadow section (phases 1..B)
-        @pl.when(ph > 0)
-        def _shadow():
-            h3 = (sget(HX), sget(HY), sget(HZ))
-            hw_pos = sget(HW) > 0.0
+                keep = keep & (tn <= btf * 1.001 + 1e-3)
+            bits = bits | jnp.where(
+                keep & nearest_on, jnp.int32(1 << (2 * j)), 0
+            )
             skeep = jnp.zeros((TR, LANES), jnp.bool_)
             for li in range(n_dl):
-                lx, ly, lz = (dl_ref[li * 6 + c] for c in range(3))
-                iv = (cinv(lx), cinv(ly), cinv(lz))
-                ok, _tn = slab(lox, loy, loz, hix, hiy, hiz, h3, iv)
-                pend = hw_pos & (sget(SFOLD[li]) == 0.0)
-                skeep = skeep | (ok & pend)
+                ok, _tn = slab(
+                    lox, loy, loz, hix, hiy, hiz, h3, dl_iv[li]
+                )
+                skeep = skeep | (ok & pend_dl[li])
             for lj in range(n_pl):
                 d = PL_BASE[lj]
                 iv = (sget(d["ivx"]), sget(d["ivy"]), sget(d["ivz"]))
@@ -780,30 +781,90 @@ def _fused_kernel(
                     lox, loy, loz, hix, hiy, hiz, h3, iv,
                     tmax=sget(d["tmax"]),
                 )
-                pend = hw_pos & (sget(SFOLD[n_dl + lj]) == 0.0)
-                skeep = skeep | (ok & pend)
-            live = jnp.any(skeep)
-            if stats:
-                # live shadow sections in bits 20..29
-                @pl.when(live)
-                def _():
-                    cnt_ref[...] = cnt_ref[...] + (1 << 20)
-            if kb_sph:
-                cond = live & is_sph if kb_tri else live
+                skeep = skeep | (ok & pend_pl[lj])
+            bits = bits | jnp.where(
+                skeep & shadow_on, jnp.int32(1 << (2 * j + 1)), 0
+            )
+        if debug_sweep == "dead":  # perf-lab knob: overhead floor
+            bits = bits & 0
+        elif debug_sweep == "all":  # perf-lab knob: body ceiling
+            # every body live, but the phase gates still apply (phase 0
+            # runs no shadow bodies, phase B no nearest bodies)
+            allb = (1 << (2 * CHUNK)) - 1
+            gate = jnp.where(nearest_on, jnp.int32(0x55555555 & allb), 0)
+            gate = gate | jnp.where(
+                shadow_on, jnp.int32(0xAAAAAAAA & allb), 0
+            )
+            bits = jnp.broadcast_to(gate, bits.shape)
+        # cross-sublane / cross-lane OR fold, then one scalar extraction
+        v = bits
+        h = TR // 2
+        while h >= 1:
+            v = v[0:h, :] | v[h:2 * h, :]
+            h //= 2
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            v = v | pltpu.roll(v, sh, 1)
+        return jnp.max(v)  # all lanes equal after the fold: max == value
 
-                @pl.when(cond)
-                def _():
-                    sphere_shadow(sub_s)
-            if kb_tri:
-                cond = live & ~is_sph if kb_sph else live
+    def chunk_body(c, _):
+        bits = chunk_flags(c)
 
-                @pl.when(cond)
-                def _():
-                    tri_shadow(sub_t)
+        @pl.when(bits != 0)
+        def _run():
+            def inner(j, _2):
+                sub = order_ref[c * CHUNK + j]
+                if kb_sph and kb_tri:
+                    is_sph = sub < kb_sph
+                else:
+                    is_sph = kb_sph > 0  # static
+                sub_s = jnp.minimum(sub, kb_sph - 1) if kb_sph else 0
+                sub_t = (
+                    jnp.clip(sub - kb_sph, 0, kb_tri - 1) if kb_tri else 0
+                )
+                nbit = ((bits >> (2 * j)) & 1) != 0
+                sbit = ((bits >> (2 * j + 1)) & 1) != 0
+                if stats:
+                    # debug accounting: live nearest sections in bits
+                    # 10..19 of the counter stream, shadow in 20..29
+                    # (stats renders are not parity renders)
+                    @pl.when(nbit)
+                    def _():
+                        cnt_ref[...] = cnt_ref[...] + (1 << 10)
+
+                    @pl.when(sbit)
+                    def _():
+                        cnt_ref[...] = cnt_ref[...] + (1 << 20)
+                if kb_sph:
+                    cond = nbit & is_sph if kb_tri else nbit
+
+                    @pl.when(cond)
+                    def _():
+                        sphere_nearest(sub_s)
+                if kb_tri:
+                    cond = nbit & ~is_sph if kb_sph else nbit
+
+                    @pl.when(cond)
+                    def _():
+                        tri_nearest(sub_t)
+                if kb_sph:
+                    cond = sbit & is_sph if kb_tri else sbit
+
+                    @pl.when(cond)
+                    def _():
+                        sphere_shadow(sub_s)
+                if kb_tri:
+                    cond = sbit & ~is_sph if kb_sph else sbit
+
+                    @pl.when(cond)
+                    def _():
+                        tri_shadow(sub_t)
+                return _2
+
+            jax.lax.fori_loop(0, CHUNK, inner, None)
 
         return _
 
-    jax.lax.fori_loop(0, K, sweep_body, None)
+    jax.lax.fori_loop(0, -(-K // CHUNK), chunk_body, None)
 
     # ------------------------------------------------------------------
     # Final epilogue: last bounce's lighting + sky + outputs
@@ -842,7 +903,8 @@ def _fused_kernel(
     jax.jit,
     static_argnames=("cfg", "kb_sph", "kb_tri", "n_dl", "n_pl", "sky_dim",
                      "interpret", "tile_rows", "procedural", "prune",
-                     "n_rows", "n_samples", "swizzle", "stats"),
+                     "n_rows", "n_samples", "swizzle", "stats",
+                     "debug_sweep"),
 )
 def _render_rays_fused(
     pack: ClusterPack,
@@ -862,6 +924,7 @@ def _render_rays_fused(
     n_samples: int = None,
     swizzle=None,
     stats: bool = False,
+    debug_sweep: str = None,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
     if n_rows is None:
@@ -894,6 +957,19 @@ def _render_rays_fused(
     B = cfg.bounce_limit
     n_lights = n_dl + n_pl
 
+    # pad the visit order to a multiple of the sweep CHUNK (8) with the
+    # extra NaN-box aabb row: padded entries fail every slab test and
+    # cost one flag computation each, never a body
+    K = kb_sph + kb_tri
+    k_pad = -(-K // 8) * 8
+    if k_pad > K:
+        order = jnp.concatenate(
+            [order, jnp.full((k_pad - K,), K, jnp.int32)]
+        )
+    aabb = jnp.concatenate(
+        [aabb, jnp.full((1, aabb.shape[1]), jnp.nan, jnp.float32)]
+    )
+
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     geom_in = []
     geom_specs = []
@@ -925,7 +1001,7 @@ def _render_rays_fused(
             cfg=cfg, kb_sph=kb_sph, kb_tri=kb_tri, n_dl=n_dl, n_pl=n_pl,
             sky_dim=sky_dim, tile_rows=tile_rows, procedural=procedural,
             prune=prune, n_rows=n_rows, n_samples=n_samples,
-            swizzle=swizzle, stats=stats,
+            swizzle=swizzle, stats=stats, debug_sweep=debug_sweep,
         )
 
     tile_out = lambda dt: (
