@@ -1,0 +1,377 @@
+"""Pallas path-tracing kernel: the config-5 stochastic bounce loop
+(soft shadows from spherical area lights + cosine-sampled diffuse
+interreflection) as ONE fused TPU kernel per frame.
+
+The XLA path (ttrt.render.pathtrace) carries ~20 (H*W*spp)-lane state
+arrays through HBM on every lax.fori_loop bounce; this kernel keeps the
+whole stochastic chain in vector registers per (TILE_R, 128) ray tile,
+the same structure that made the deterministic demo kernel ~4x the XLA
+oracle (ttrt.kernels.render_pallas). The bounce loop is FULLY UNROLLED
+(straight-line SSA — the round-2 Mosaic lesson: lax loops with vector
+carries are catastrophically slow).
+
+RNG is COUNTER-BASED and backend-portable: every draw is a pure hash
+  u = u01(mix32(ray_index ^ mix32(seed + stream_constant)))
+of the (frame seed, global ray index, bounce, purpose) tuple — a
+murmur3-style finalizer (statistically solid for MC sampling, xorshift/
+multiply avalanche) built from plain uint32 vector ops, so the identical
+stream runs under interpret mode on CPU (tests) and on the chip. No
+pltpu.prng_* dependency, no RNG state threading, bit-reproducible given
+(seed, shape).
+
+Estimator semantics mirror ttrt.render.pathtrace.pathtrace_batch
+line-for-line (NEE against every area light with one surface sample,
+specular-vs-diffuse branch with probability = reflectivity, russian
+roulette from bounce 3, deferred sky at path exit); the RNG stream
+differs, so parity with the XLA path is STATISTICAL (tests compare
+many-sample means), while the kernel itself is deterministic. Documented
+delta: light visibility uses an any-hit occlusion scan with a t-cutoff
+at the light-sample distance (the same restructuring render_pallas
+documents for delta lights) instead of the XLA path's nearest-hit +
+squared-distance compare — the two disagree only when a blocker sits
+within ~5e-5 relative of the light surface, a measure-zero knife edge of
+the sampler.
+
+Reference lineage: the stochastic extension of project_scene's bounce
+loop (TerminalRayTracer.c:1012-1057) — see ttrt/render/pathtrace.py for
+the estimator derivation.
+
+Restrictions: float32, procedural skybox only (the textured pathtrace
+tier stays on the XLA path — one deferred texel index per ray cannot
+carry the per-channel throughput weights this estimator needs without 3
+extra output streams; documented design decision, not a gap: the bench
+and demo pathtrace scenes are procedural).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ttrt.config import RenderConfig, constants
+from ttrt.kernels.render_pallas import (LANES, TILE_R, _normalize3,
+                                        _read_tuples, _shadow_any_hit,
+                                        _shadow_oc_terms,
+                                        _sky_color_procedural, _trace,
+                                        pack_scene)
+from ttrt.render.pathtrace import AreaLights
+from ttrt.vec import Vec3
+
+_GOLDEN = 0x9E3779B9
+
+
+def _mix32(x):
+    """murmur3 fmix32: bijective avalanche on uint32 (vector or scalar)."""
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> jnp.uint32(13))
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> jnp.uint32(16))
+    return x
+
+
+def _u01(h):
+    """uint32 hash -> f32 uniform in [0, 1) (24 high bits). The shifted
+    value fits in 24 bits, so a BITCAST to int32 (sign bit clear) feeds
+    the int->float cast — Mosaic has no uint32->f32 conversion."""
+    h24 = jax.lax.bitcast_convert_type(h >> jnp.uint32(8), jnp.int32)
+    return h24.astype(jnp.float32) * jnp.float32(1.0 / 16777216.0)
+
+
+def pack_area_lights(lights: AreaLights, dtype) -> jnp.ndarray:
+    """(L*8,) SMEM rows: position 3, radius, color 3, intensity."""
+    return jnp.stack(
+        [
+            lights.position.x, lights.position.y, lights.position.z,
+            lights.radius,
+            lights.color.x, lights.color.y, lights.color.z,
+            lights.intensity,
+        ],
+        axis=-1,
+    ).reshape(-1).astype(dtype)
+
+
+def _pathtrace_kernel(
+    cam_ref, sph_ref, plane_ref, al_ref, seed_ref,  # SMEM
+    pix_r_ref, pix_g_ref, pix_b_ref,  # VMEM outputs (1, TR, 128)
+    *,
+    cfg: RenderConfig,
+    n_spheres: int,
+    n_lights: int,
+    sky_dim: int,
+    tile_r: int,
+    procedural: str,
+    n_rows: int,
+    n_samples: int,
+):
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    n_rays = W * n_rows * n_samples
+    step = pl.program_id(0)
+    base = step * (tile_r * LANES)
+    lane = (
+        jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 0) * LANES
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 1)
+    )
+    idx = base + lane
+    lane_valid = idx < n_rays
+    idx_u = idx.astype(jnp.uint32)
+    seed_u = seed_ref[0].astype(jnp.uint32)
+
+    def rand(bounce: int, purpose: int):
+        """One counter-based U[0,1) draw per lane for (bounce, purpose)."""
+        sc = jnp.uint32(((bounce * 64 + purpose) * _GOLDEN) & 0xFFFFFFFF)
+        return _u01(_mix32(idx_u ^ _mix32(seed_u + sc)))
+
+    def uniform_sphere(bounce: int, purpose: int):
+        """Uniform unit-sphere directions (z / phi parameterization, as
+        ttrt.render.pathtrace._uniform_sphere)."""
+        z = rand(bounce, purpose) * 2.0 - 1.0
+        phi = rand(bounce, purpose + 1) * (2.0 * constants.PI)
+        r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        return r * jnp.cos(phi), r * jnp.sin(phi), z
+
+    # --- primary ray generation: same lane order / camera math as the
+    # demo kernel (render_pallas._gen_primary_rays), with RANDOM subpixel
+    # jitter in [0, pixel) replacing the deterministic triangle wave
+    # (pathtrace_frame's sampler, ttrt/render/pathtrace.py:244-266).
+    n_pixels = W * n_rows
+    # sample-major lane order as the demo kernel; the sample index only
+    # reaches the math through idx-based RNG (jitter is random, not the
+    # triangle wave), so only the pixel coordinates are decoded here
+    pix = idx % n_pixels
+    col = (pix % W).astype(jnp.float32)
+    row = (pix // W).astype(jnp.float32) + cam_ref[15]
+
+    bx0, bx1, bx2 = cam_ref[0], cam_ref[1], cam_ref[2]
+    by0, by1, by2 = cam_ref[3], cam_ref[4], cam_ref[5]
+    bz0, bz1, bz2 = cam_ref[6], cam_ref[7], cam_ref[8]
+    cox, coy, coz = cam_ref[9], cam_ref[10], cam_ref[11]
+    szc, sw, sh = cam_ref[12], cam_ref[13], cam_ref[14]
+    jit_x = rand(63, 0) * (sw / W)
+    jit_y = rand(63, 1) * (sh / H)
+    sxv = (col / W) * sw - sw / 2.0 + jit_x
+    syv = -((row / H) * sh - sh / 2.0) + jit_y
+    dx, dy, dz = _normalize3(
+        sxv * bx0 + syv * by0 + szc * bz0 - cox,
+        sxv * bx1 + syv * by1 + szc * bz1 - coy,
+        sxv * bx2 + syv * by2 + szc * bz2 - coz,
+    )
+    ox = jnp.full_like(dx, cox)
+    oy = jnp.full_like(dx, coy)
+    oz = jnp.full_like(dx, coz)
+
+    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
+    plane_vals = tuple(plane_ref[i] for i in range(14))
+    al_vals = _read_tuples(al_ref, n_lights, 8)
+
+    zero = jnp.zeros_like(dx)
+    rad_r, rad_g, rad_b = zero, zero, zero
+    tp_r = jnp.where(lane_valid, 1.0, 0.0).astype(jnp.float32)
+    tp_g, tp_b = tp_r, tp_r
+    alive_f = tp_r  # 1.0 while the path lives (carry f32, not i1)
+    skyw_r, skyw_g, skyw_b = zero, zero, zero
+
+    # --- FULLY UNROLLED stochastic bounce chain (pathtrace_batch body)
+    for b in range(cfg.bounce_limit):
+        alive = alive_f > 0.5
+        hit = _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals)
+        miss_now = alive & ~hit.is_hit
+        add = alive & hit.is_hit
+
+        # sky exit record: per-channel throughput + frozen direction
+        skyw_r = jnp.where(miss_now, tp_r, skyw_r)
+        skyw_g = jnp.where(miss_now, tp_g, skyw_g)
+        skyw_b = jnp.where(miss_now, tp_b, skyw_b)
+
+        # next-event estimation: one surface sample on every area light
+        oc = _shadow_oc_terms(hit.px, hit.py, hit.pz, sph_vals)
+        one = jnp.ones_like(dx)
+        for li, (lpx, lpy, lpz, lr, lcr, lcg, lcb, lint) in enumerate(
+            al_vals
+        ):
+            sx_, sy_, sz_ = uniform_sphere(b, 10 + 3 * li)
+            lxx = lpx + lr * sx_
+            lxy = lpy + lr * sy_
+            lxz = lpz + lr * sz_
+            tlx, tly, tlz = lxx - hit.px, lxy - hit.py, lxz - hit.pz
+            d2 = tlx * tlx + tly * tly + tlz * tlz
+            wix, wiy, wiz = _normalize3(tlx, tly, tlz)
+            ndotl = jnp.maximum(
+                hit.nx * wix + hit.ny * wiy + hit.nz * wiz, 0.0
+            )
+            # any-hit occlusion with a cutoff at the light-sample
+            # distance (documented knife-edge delta vs the XLA path's
+            # nearest-hit + squared-distance compare)
+            tmax = jnp.sqrt(d2) * (1.0 - 5e-5)
+            blocked = _shadow_any_hit(
+                hit.px, hit.py, hit.pz, wix, wiy, wiz, one, tmax, oc,
+                plane_vals,
+            )
+            fall = jnp.minimum(lint / jnp.maximum(d2, 1e-8), 1.0)
+            w = jnp.where(blocked, 0.0, fall * ndotl)
+            aw = jnp.where(add, w, 0.0)
+            rad_r = rad_r + tp_r * aw * lcr * hit.cr
+            rad_g = rad_g + tp_g * aw * lcg * hit.cg
+            rad_b = rad_b + tp_b * aw * lcb * hit.cb
+
+        # specular (prob = reflectivity) vs cosine-diffuse continuation
+        u = rand(b, 30)
+        spec = u < hit.refl
+        dn = 2.0 * (dx * hit.nx + dy * hit.ny + dz * hit.nz)
+        spx, spy, spz = _normalize3(
+            dx - dn * hit.nx, dy - dn * hit.ny, dz - dn * hit.nz
+        )
+        usx, usy, usz = uniform_sphere(b, 40)
+        cdx = hit.nx + usx
+        cdy = hit.ny + usy
+        cdz = hit.nz + usz
+        tiny = cdx * cdx + cdy * cdy + cdz * cdz < 1e-8
+        cdx = jnp.where(tiny, hit.nx, cdx)
+        cdy = jnp.where(tiny, hit.ny, cdy)
+        cdz = jnp.where(tiny, hit.nz, cdz)
+        cdx, cdy, cdz = _normalize3(cdx, cdy, cdz)
+        ndx = jnp.where(spec, spx, cdx)
+        ndy = jnp.where(spec, spy, cdy)
+        ndz = jnp.where(spec, spz, cdz)
+
+        ntp_r = jnp.where(spec, tp_r, tp_r * hit.cr)
+        ntp_g = jnp.where(spec, tp_g, tp_g * hit.cg)
+        ntp_b = jnp.where(spec, tp_b, tp_b * hit.cb)
+
+        # russian roulette from bounce 3 (static per unrolled step)
+        if b >= 3:
+            maxc = jnp.maximum(ntp_r, jnp.maximum(ntp_g, ntp_b))
+            p_cont = jnp.clip(maxc, 0.05, 1.0)
+            survive = rand(b, 50) < p_cont
+            inv_p = 1.0 / p_cont
+            ntp_r = ntp_r * inv_p
+            ntp_g = ntp_g * inv_p
+            ntp_b = ntp_b * inv_p
+        else:
+            survive = jnp.ones_like(spec)
+
+        upd = alive & hit.is_hit
+        tp_r = jnp.where(upd, ntp_r, tp_r)
+        tp_g = jnp.where(upd, ntp_g, tp_g)
+        tp_b = jnp.where(upd, ntp_b, tp_b)
+        ox = jnp.where(upd, hit.px, ox)
+        oy = jnp.where(upd, hit.py, oy)
+        oz = jnp.where(upd, hit.pz, oz)
+        dx = jnp.where(upd, ndx, dx)
+        dy = jnp.where(upd, ndy, dy)
+        dz = jnp.where(upd, ndz, dz)
+        alive_f = jnp.where(alive & hit.is_hit & survive, 1.0, 0.0)
+
+    skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, procedural)
+    pix_r_ref[0] = rad_r + skyw_r * skr
+    pix_g_ref[0] = rad_g + skyw_g * skg
+    pix_b_ref[0] = rad_b + skyw_b * skb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "n_spheres", "n_lights", "sky_dim", "interpret",
+                     "tile_r", "procedural", "n_rows", "n_samples"),
+)
+def _pathtrace_rays_pallas(
+    packed, al, seed,
+    cfg: RenderConfig,
+    n_spheres: int,
+    n_lights: int,
+    sky_dim: int,
+    interpret: bool = False,
+    tile_r: int = TILE_R,
+    procedural: str = None,
+    n_rows: int = None,
+    n_samples: int = None,
+):
+    W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
+    if n_rows is None:
+        n_rows = H
+    if n_samples is None:
+        n_samples = N
+    n_rays = W * n_rows * n_samples
+    n_tiles = pl.cdiv(n_rays, tile_r * LANES)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    kernel = functools.partial(
+        _pathtrace_kernel,
+        cfg=cfg,
+        n_spheres=n_spheres,
+        n_lights=n_lights,
+        sky_dim=sky_dim,
+        tile_r=tile_r,
+        procedural=procedural,
+        n_rows=n_rows,
+        n_samples=n_samples,
+    )
+    tile_out = lambda dt: (
+        jax.ShapeDtypeStruct((n_tiles, tile_r, LANES), dt),
+        pl.BlockSpec((1, tile_r, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    )
+    shapes_specs = [tile_out(jnp.float32)] * 3
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=[s for s, _ in shapes_specs],
+        in_specs=[smem() for _ in range(5)],
+        out_specs=[sp for _, sp in shapes_specs],
+        interpret=interpret,
+    )(packed.cam, packed.spheres, packed.plane, al, seed)
+    pr, pg, pb = (a.reshape(-1)[:n_rays] for a in outs)
+    return Vec3(pr, pg, pb)
+
+
+def pathtrace_frame_pallas(
+    scene, lights: AreaLights, cfg: RenderConfig, seed, *,
+    interpret: bool = False, tile_r: int = TILE_R, reduce: str = "mean",
+) -> Vec3:
+    """Drop-in for ttrt.render.pathtrace.pathtrace_frame on the Pallas
+    path: (H, W) Vec3 radiance averaged over cfg.rays_per_pixel
+    counter-RNG samples. ``seed`` is an int32 scalar (may be traced);
+    vary it per frame for progressive refinement.
+
+    ``reduce='sum'`` returns unclipped per-pixel sums (the sharded
+    combine contract, as pathtrace_frame)."""
+    if cfg.dtype != jnp.float32:
+        raise ValueError("pallas pathtrace is float32-only")
+    if scene.skybox.procedural is None:
+        raise ValueError(
+            "pallas pathtrace supports procedural skyboxes only; the "
+            "textured tier is served by ttrt.render.pathtrace (see module "
+            "docstring)"
+        )
+    if cfg.bounce_limit > 10:
+        raise ValueError("pallas pathtrace supports bounce_limit <= 10")
+    H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
+    packed = pack_scene(scene, jnp.float32)
+    al = pack_area_lights(lights, jnp.float32)
+    seed = jnp.asarray(seed, jnp.int32).reshape((1,))
+    color = _pathtrace_rays_pallas(
+        packed, al, seed, cfg,
+        scene.spheres.count, lights.count, scene.skybox.dim,
+        interpret, tile_r, scene.skybox.procedural,
+    )
+
+    # lane order is SAMPLE-MAJOR (k = idx // n_pixels, as the demo
+    # kernel), so the per-pixel reduce folds axis 0 of (N, H, W)
+    if reduce == "sum":
+        def tot(c):
+            return c.reshape(N, H, W).sum(axis=0)
+
+        return Vec3(tot(color.x), tot(color.y), tot(color.z))
+
+    def avg(c):
+        return c.reshape(N, H, W).mean(axis=0)
+
+    return Vec3(
+        jnp.clip(avg(color.x), 0.0, 1.0),
+        jnp.clip(avg(color.y), 0.0, 1.0),
+        jnp.clip(avg(color.z), 0.0, 1.0),
+    )
