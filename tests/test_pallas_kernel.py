@@ -212,3 +212,33 @@ def test_procedural_sky_matches_textured_exactly(name):
     img_proc, rays_proc = render(sky_tagged)
     np.testing.assert_array_equal(img_proc, img_tex)
     assert rays_tex == rays_proc
+
+
+def test_pallas_specular_matches_xla_extension():
+    """The Blinn-Phong specular EXTENSION (reference latent surface,
+    TerminalRayTracer.c:913-916/947-950; exposed behind cfg.specular) on
+    the Pallas path mirrors ttrt.render.lighting's math. The two paths
+    reorder fp ops (rsqrt half-vector normalize, fused accumulation), so
+    the bar is the usual quantized agreement with sparse flips, plus a
+    sanity check that specular actually changes the image."""
+    scene, cfg = _small_setup(make_colors_skybox, 0.7)
+    cfg_s = cfg.with_(specular=True)
+    fb_ref, _ = render_frame(scene, cfg_s, count_rays=True)
+    fb_pal, _ = render_frame_pallas(scene, cfg_s, interpret=True)
+    fb_off, _ = render_frame_pallas(scene, cfg, interpret=True)
+
+    ref = np.asarray(fb_ref.to_array(), np.float64)
+    pal = np.asarray(fb_pal.to_array(), np.float64)
+    off = np.asarray(fb_off.to_array(), np.float64)
+
+    # the extension must DO something (highlights on the shiny spheres)
+    assert np.abs(pal - off).max() > 0.05
+
+    flips = (quantize_u8(ref) != quantize_u8(pal)).any(axis=-1)
+    n_px = flips.shape[0] * flips.shape[1]
+    assert flips.sum() <= 0.03 * n_px, f"{flips.sum()}/{n_px} flips"
+    assert float(np.median(np.abs(ref - pal))) < 2e-5
+    # pow(n.h, spec=100) amplifies ulp-level half-vector differences
+    # ~100x at highlight edges, so isolated pixels may differ visibly;
+    # the BULK must agree to quantization scale
+    assert float(np.percentile(np.abs(ref - pal), 99)) < 1.0 / 255

@@ -166,8 +166,8 @@ def _pathtrace_kernel(
     oy = jnp.full_like(dx, coy)
     oz = jnp.full_like(dx, coz)
 
-    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
-    plane_vals = tuple(plane_ref[i] for i in range(14))
+    sph_vals = _read_tuples(sph_ref, n_spheres, 9)
+    plane_vals = tuple(plane_ref[i] for i in range(16))
     al_vals = _read_tuples(al_ref, n_lights, 8)
 
     zero = jnp.zeros_like(dx)

