@@ -104,17 +104,20 @@ def order_subclusters(pack: ClusterPack, origin: jnp.ndarray) -> jnp.ndarray:
 
 
 def _aabb_table(pack: ClusterPack) -> jnp.ndarray:
-    """(K, 8) f32 SMEM table: lo xyz, hi xyz, 0, 0 per subcluster
-    (combined index space). Invalid subclusters carry NaN boxes — every
-    slab comparison is then false, so they are never live."""
-    lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)
-    hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
-    valid = jnp.concatenate([pack.sph_valid, pack.tri_valid]) != 0
-    nan = jnp.float32(jnp.nan)
-    lo = jnp.where(valid[:, None], lo.astype(jnp.float32), nan)
-    hi = jnp.where(valid[:, None], hi.astype(jnp.float32), nan)
-    k = lo.shape[0]
-    return jnp.concatenate([lo, hi, jnp.zeros((k, 2), jnp.float32)], axis=1)
+    """(K*4, 8) f32 SMEM table of QUARTER AABBs: row sub*4+q is quarter
+    q of subcluster sub (combined index space), columns lo xyz, hi xyz,
+    0, 0. Quarters (32 Morton-consecutive objects = table groups
+    4q..4q+3) are the kernel's fine culling granularity; all-padding
+    quarters carry NaN boxes — every slab comparison is then false, so
+    they are never live."""
+    lo = jnp.concatenate([pack.sph_lo_q, pack.tri_lo_q], axis=0)
+    hi = jnp.concatenate([pack.sph_hi_q, pack.tri_hi_q], axis=0)
+    k4 = lo.shape[0] * lo.shape[1]
+    lo = lo.reshape(k4, 3).astype(jnp.float32)
+    hi = hi.reshape(k4, 3).astype(jnp.float32)
+    return jnp.concatenate(
+        [lo, hi, jnp.zeros((k4, 2), jnp.float32)], axis=1
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -491,7 +494,7 @@ def _fused_kernel(
             ok = ok & (tn <= tmax)
         return ok, tn
 
-    def sphere_nearest(sub_s):
+    def sphere_nearest(sub_s, grange):
         """Narrow-test the subcluster's 128 spheres against all TR ray
         rows. Straight-line only: a per-row pl.when gate was measured
         CATASTROPHIC on-chip (16.4 -> 39.3 ms/frame at the 10k tier —
@@ -507,7 +510,7 @@ def _fused_kernel(
                 vals = [qrow(qi, r) for qi in
                         (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)]
                 bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = vals
-                for g in range(GROUPS):
+                for g in grange:
                     cx = _b128(_col(pages[0], g))
                     cy = _b128(_col(pages[1], g))
                     cz = _b128(_col(pages[2], g))
@@ -546,19 +549,19 @@ def _fused_kernel(
                     st_ref[BTF * TR + r: BTF * TR + r + 1, :], v
                 ))
 
-    def tri_nearest(sub_t):
+    def tri_nearest(sub_t, grange):
         comps = [tri_ref[c, sub_t] for c in
                  (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16)]
         for r in range(TR):
-            _tri_nearest_row(comps, r)
+            _tri_nearest_row(comps, r, grange)
 
-    def _tri_nearest_row(comps, r):
+    def _tri_nearest_row(comps, r, grange):
             ox, oy, oz = srow(OX, r), srow(OY, r), srow(OZ, r)
             dx, dy, dz = srow(DX, r), srow(DY, r), srow(DZ, r)
             vals = [qrow(qi, r) for qi in
                     (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)]
             bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = vals
-            for g in range(GROUPS):
+            for g in grange:
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
                  tnx, tny, tnz, tcr, tcg, tcb, trf) = (
                     _b128(_col(c, g)) for c in comps
@@ -604,16 +607,16 @@ def _fused_kernel(
                 st_ref[BTF * TR + r: BTF * TR + r + 1, :], v
             ))
 
-    def sphere_shadow(sub_s):
+    def sphere_shadow(sub_s, grange):
         pages = [sph_ref[c, sub_s] for c in (0, 1, 2, 3)]
         for r in range(TR):
-            _sphere_shadow_row(pages, r)
+            _sphere_shadow_row(pages, r, grange)
 
-    def _sphere_shadow_row(pages, r):
+    def _sphere_shadow_row(pages, r, grange):
             hx, hy, hz = srow(HX, r), srow(HY, r), srow(HZ, r)
             soo = srow(SOO, r)
             sh = [qrow(q, r) for q in QSH]
-            for g in range(GROUPS):
+            for g in grange:
                 cx = _b128(_col(pages[0], g))
                 cy = _b128(_col(pages[1], g))
                 cz = _b128(_col(pages[2], g))
@@ -657,15 +660,15 @@ def _fused_kernel(
                     st_ref[k * TR + r: k * TR + r + 1, :], v
                 ))
 
-    def tri_shadow(sub_t):
+    def tri_shadow(sub_t, grange):
         comps = [tri_ref[c, sub_t] for c in range(9)]
         for r in range(TR):
-            _tri_shadow_row(comps, r)
+            _tri_shadow_row(comps, r, grange)
 
-    def _tri_shadow_row(comps, r):
+    def _tri_shadow_row(comps, r, grange):
             hx, hy, hz = srow(HX, r), srow(HY, r), srow(HZ, r)
             sh = [qrow(q, r) for q in QSH]
-            for g in range(GROUPS):
+            for g in grange:
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = (
                     _b128(_col(c, g)) for c in comps
                 )
@@ -716,27 +719,36 @@ def _fused_kernel(
     # subcluster per (tile, phase) — each jnp.any() reduction that feeds
     # a pl.when stalls the vector pipeline ~300 cycles — totalling
     # ~3.5 ms/frame at the 10k bench tier, 22% of the frame. The chunked
-    # sweep computes EIGHT subclusters' nearest+shadow live flags
-    # entirely in the vector domain (bit 2j = nearest live, 2j+1 =
-    # shadow live of chunk member j), OR-folds them across
+    # sweep computes FOUR subclusters' live flags at QUARTER granularity
+    # (4 nearest + 4 shadow bits per subcluster, byte j = chunk member
+    # j) entirely in the vector domain, OR-folds them across
     # sublanes/lanes, and extracts the packed mask with ONE scalar sync;
-    # the inner 8-iteration fori then branches on cheap scalar bit
-    # tests. Semantics are IDENTICAL (the per-subcluster keep masks are
-    # unchanged; the best-t prune reads a <=7-subcluster-stale BTF,
-    # which only ever widens the conservative keep set).
-    CHUNK = 8
+    # the inner 4-iteration fori then branches on cheap scalar bit
+    # tests, running only the LIVE 32-object quarters of each narrow
+    # body. Semantics are IDENTICAL (quarter keep masks are
+    # conservative slab tests exactly like the old per-subcluster mask,
+    # just on tighter boxes; the best-t prune reads a <=3-subcluster-
+    # stale BTF, which only ever widens the conservative keep set).
+    CHUNK = 4
+    NQ4 = 4  # quarters per subcluster (clusters.QUARTERS)
 
-    def _sub_info(sub):
-        lox = aabb_ref[sub, 0]
-        loy = aabb_ref[sub, 1]
-        loz = aabb_ref[sub, 2]
-        hix = aabb_ref[sub, 3]
-        hiy = aabb_ref[sub, 4]
-        hiz = aabb_ref[sub, 5]
-        return lox, loy, loz, hix, hiy, hiz
+    def _bit(b):  # int32 constant with bit b set (b=31 = the sign bit)
+        return jnp.int32(np.int32(np.uint32(1 << b)))
+
+    def _qbox(sub, q):
+        base = sub * NQ4 + q
+        return (
+            aabb_ref[base, 0], aabb_ref[base, 1], aabb_ref[base, 2],
+            aabb_ref[base, 3], aabb_ref[base, 4], aabb_ref[base, 5],
+        )
 
     def chunk_flags(c):
-        """Packed int32 live-bit mask for chunk ``c`` — one sync total."""
+        """Packed int32 live-bit mask for chunk ``c`` — one sync total.
+        Byte j holds subcluster order[c*4+j]: bits j*8+q = quarter q
+        nearest-live, j*8+4+q = quarter q shadow-live. Quarter boxes are
+        the fine culling granularity (32 Morton-consecutive objects =
+        table groups 4q..4q+3); a NaN quarter box (padding) fails every
+        comparison."""
         nearest_on = ph < B
         shadow_on = ph > 0
         alive = sget(ACON) > constants.CONTRIBUTION_EPS
@@ -755,45 +767,47 @@ def _fused_kernel(
             tuple(cinv(dl_ref[li * 6 + cc]) for cc in range(3))
             for li in range(n_dl)
         ]
+        pl_iv = [
+            (sget(d["ivx"]), sget(d["ivy"]), sget(d["ivz"]))
+            for d in PL_BASE
+        ]
+        pl_tmax = [sget(d["tmax"]) for d in PL_BASE]
         bits = jnp.zeros((TR, LANES), jnp.int32)
         for j in range(CHUNK):
             sub = order_ref[c * CHUNK + j]
-            lox, loy, loz, hix, hiy, hiz = _sub_info(sub)
-            ok, tn = slab(lox, loy, loz, hix, hiy, hiz, o3, iv3)
-            keep = ok & alive
-            if prune:
-                # skip boxes entirely beyond every live ray's current
-                # best (relative+absolute margin vs fp slop in tn)
-                keep = keep & (tn <= btf * 1.001 + 1e-3)
-            bits = bits | jnp.where(
-                keep & nearest_on, jnp.int32(1 << (2 * j)), 0
-            )
-            skeep = jnp.zeros((TR, LANES), jnp.bool_)
-            for li in range(n_dl):
-                ok, _tn = slab(
-                    lox, loy, loz, hix, hiy, hiz, h3, dl_iv[li]
+            for q in range(NQ4):
+                box = _qbox(sub, q)
+                ok, tn = slab(*box, o3, iv3)
+                keep = ok & alive
+                if prune:
+                    # skip boxes entirely beyond every live ray's
+                    # current best (margin vs fp slop in tn)
+                    keep = keep & (tn <= btf * 1.001 + 1e-3)
+                bits = bits | jnp.where(
+                    keep & nearest_on, _bit(j * 8 + q), 0
                 )
-                skeep = skeep | (ok & pend_dl[li])
-            for lj in range(n_pl):
-                d = PL_BASE[lj]
-                iv = (sget(d["ivx"]), sget(d["ivy"]), sget(d["ivz"]))
-                ok, _tn = slab(
-                    lox, loy, loz, hix, hiy, hiz, h3, iv,
-                    tmax=sget(d["tmax"]),
+                skeep = jnp.zeros((TR, LANES), jnp.bool_)
+                for li in range(n_dl):
+                    ok, _tn = slab(*box, h3, dl_iv[li])
+                    skeep = skeep | (ok & pend_dl[li])
+                for lj in range(n_pl):
+                    ok, _tn = slab(
+                        *box, h3, pl_iv[lj], tmax=pl_tmax[lj]
+                    )
+                    skeep = skeep | (ok & pend_pl[lj])
+                bits = bits | jnp.where(
+                    skeep & shadow_on, _bit(j * 8 + 4 + q), 0
                 )
-                skeep = skeep | (ok & pend_pl[lj])
-            bits = bits | jnp.where(
-                skeep & shadow_on, jnp.int32(1 << (2 * j + 1)), 0
-            )
         if debug_sweep == "dead":  # perf-lab knob: overhead floor
             bits = bits & 0
         elif debug_sweep == "all":  # perf-lab knob: body ceiling
             # every body live, but the phase gates still apply (phase 0
             # runs no shadow bodies, phase B no nearest bodies)
-            allb = (1 << (2 * CHUNK)) - 1
-            gate = jnp.where(nearest_on, jnp.int32(0x55555555 & allb), 0)
+            gate = jnp.where(
+                nearest_on, jnp.int32(0x0F0F0F0F), 0
+            )
             gate = gate | jnp.where(
-                shadow_on, jnp.int32(0xAAAAAAAA & allb), 0
+                shadow_on, jnp.int32(np.int32(np.uint32(0xF0F0F0F0))), 0
             )
             bits = jnp.broadcast_to(gate, bits.shape)
         # cross-sublane / cross-lane OR fold, then one scalar extraction
@@ -804,7 +818,10 @@ def _fused_kernel(
             h //= 2
         for sh in (64, 32, 16, 8, 4, 2, 1):
             v = v | pltpu.roll(v, sh, 1)
-        return jnp.max(v)  # all lanes equal after the fold: max == value
+        # all lanes equal after the fold — but the packed mask may have
+        # the SIGN bit set (bit 31 = j3/q3 shadow), so extract with a
+        # bitwise-OR-preserving reduction: lanes are equal, min == value
+        return jnp.min(v)
 
     def chunk_body(c, _):
         bits = chunk_flags(c)
@@ -821,43 +838,56 @@ def _fused_kernel(
                 sub_t = (
                     jnp.clip(sub - kb_sph, 0, kb_tri - 1) if kb_tri else 0
                 )
-                nbit = ((bits >> (2 * j)) & 1) != 0
-                sbit = ((bits >> (2 * j + 1)) & 1) != 0
+                jbyte = jax.lax.shift_right_logical(
+                    bits, (j * 8).astype(jnp.int32)
+                )
+                nbits = [
+                    ((jbyte >> q) & 1) != 0 for q in range(NQ4)
+                ]
+                sbits = [
+                    ((jbyte >> (4 + q)) & 1) != 0 for q in range(NQ4)
+                ]
+                nany = (jbyte & 0x0F) != 0
+                sany = (jbyte & 0xF0) != 0
                 if stats:
-                    # debug accounting: live nearest sections in bits
+                    # debug accounting (SUBCLUSTER granularity, as the
+                    # pre-quarter kernel): live nearest sections in bits
                     # 10..19 of the counter stream, shadow in 20..29
                     # (stats renders are not parity renders)
-                    @pl.when(nbit)
+                    @pl.when(nany)
                     def _():
                         cnt_ref[...] = cnt_ref[...] + (1 << 10)
 
-                    @pl.when(sbit)
+                    @pl.when(sany)
                     def _():
                         cnt_ref[...] = cnt_ref[...] + (1 << 20)
-                if kb_sph:
-                    cond = nbit & is_sph if kb_tri else nbit
+                for q in range(NQ4):
+                    grange = range(q * (GROUPS // NQ4),
+                                   (q + 1) * (GROUPS // NQ4))
+                    if kb_sph:
+                        cond = nbits[q] & is_sph if kb_tri else nbits[q]
 
-                    @pl.when(cond)
-                    def _():
-                        sphere_nearest(sub_s)
-                if kb_tri:
-                    cond = nbit & ~is_sph if kb_sph else nbit
+                        @pl.when(cond)
+                        def _(sub_s=sub_s, grange=grange):
+                            sphere_nearest(sub_s, grange)
+                    if kb_tri:
+                        cond = nbits[q] & ~is_sph if kb_sph else nbits[q]
 
-                    @pl.when(cond)
-                    def _():
-                        tri_nearest(sub_t)
-                if kb_sph:
-                    cond = sbit & is_sph if kb_tri else sbit
+                        @pl.when(cond)
+                        def _(sub_t=sub_t, grange=grange):
+                            tri_nearest(sub_t, grange)
+                    if kb_sph:
+                        cond = sbits[q] & is_sph if kb_tri else sbits[q]
 
-                    @pl.when(cond)
-                    def _():
-                        sphere_shadow(sub_s)
-                if kb_tri:
-                    cond = sbit & ~is_sph if kb_sph else sbit
+                        @pl.when(cond)
+                        def _(sub_s=sub_s, grange=grange):
+                            sphere_shadow(sub_s, grange)
+                    if kb_tri:
+                        cond = sbits[q] & ~is_sph if kb_sph else sbits[q]
 
-                    @pl.when(cond)
-                    def _():
-                        tri_shadow(sub_t)
+                        @pl.when(cond)
+                        def _(sub_t=sub_t, grange=grange):
+                            tri_shadow(sub_t, grange)
                 return _2
 
             jax.lax.fori_loop(0, CHUNK, inner, None)
@@ -957,17 +987,17 @@ def _render_rays_fused(
     B = cfg.bounce_limit
     n_lights = n_dl + n_pl
 
-    # pad the visit order to a multiple of the sweep CHUNK (8) with the
-    # extra NaN-box aabb row: padded entries fail every slab test and
-    # cost one flag computation each, never a body
+    # pad the visit order to a multiple of the sweep CHUNK (4) with the
+    # extra NaN-box quarter rows: padded entries fail every slab test
+    # and cost one flag computation each, never a body
     K = kb_sph + kb_tri
-    k_pad = -(-K // 8) * 8
+    k_pad = -(-K // 4) * 4
     if k_pad > K:
         order = jnp.concatenate(
             [order, jnp.full((k_pad - K,), K, jnp.int32)]
         )
     aabb = jnp.concatenate(
-        [aabb, jnp.full((1, aabb.shape[1]), jnp.nan, jnp.float32)]
+        [aabb, jnp.full((4, aabb.shape[1]), jnp.nan, jnp.float32)]
     )
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)

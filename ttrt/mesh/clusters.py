@@ -42,6 +42,8 @@ from ttrt.vec import Vec3
 
 BLOCK = 128  # spheres/triangles per cluster (culling granularity)
 GROUPS = BLOCK // 8  # 8-sublane pair groups per cluster
+QUARTERS = 4  # fine-culling granularity inside a cluster (32 objects,
+QBLOCK = BLOCK // QUARTERS  # = 4 consecutive Morton groups each)
 PAGE = 1024  # objects per kernel DMA page (= 128 table columns); Mosaic
 SUBS = PAGE // BLOCK  # clusters per page           # needs lane-aligned loads
 TILE_RAYS = 1024  # rays per kernel tile: (8, 128)
@@ -73,6 +75,11 @@ class ClusterPack(NamedTuple):
     cb refl, same layout (rows 10..16 again fused-kernel-only).
     ``sph_lo/hi``: (KB_s, 3) radius-inflated cluster AABBs.
     ``tri_lo/hi``: (KB_t, 3) cluster AABBs over all three vertices.
+    ``sph_lo_q/hi_q``: (KB_s, 4, 3) per-QUARTER AABBs (32 consecutive
+    Morton objects = groups 4q..4q+3 of the table); NaN where the
+    quarter is all padding, so every slab comparison fails. The fused
+    kernel's fine culling granularity (ttrt.kernels.mesh_fused).
+    ``tri_lo_q/hi_q``: same for triangle clusters.
     """
 
     sph: jnp.ndarray
@@ -83,6 +90,10 @@ class ClusterPack(NamedTuple):
     tri_lo: jnp.ndarray
     tri_hi: jnp.ndarray
     tri_valid: jnp.ndarray
+    sph_lo_q: jnp.ndarray
+    sph_hi_q: jnp.ndarray
+    tri_lo_q: jnp.ndarray
+    tri_hi_q: jnp.ndarray
 
     @property
     def kb_sph(self) -> int:
@@ -194,6 +205,8 @@ def pack_clusters(
         lo = np.full((kb, 3), np.inf, f32)
         hi = np.full((kb, 3), -np.inf, f32)
         valid = np.zeros((kb,), np.int32)
+        lo_q = np.full((kb, QUARTERS, 3), np.nan, f32)
+        hi_q = np.full((kb, QUARTERS, 3), np.nan, f32)
         for k in range(kb):
             end = min((k + 1) * BLOCK, c.shape[0])
             if end > k * BLOCK:
@@ -201,13 +214,22 @@ def pack_clusters(
                 lo[k] = lo_pts[sl].min(axis=0)
                 hi[k] = hi_pts[sl].max(axis=0)
                 valid[k] = 1
+            for q in range(QUARTERS):
+                qs = k * BLOCK + q * QBLOCK
+                qe = min(qs + QBLOCK, c.shape[0])
+                if qe > qs:
+                    lo_q[k, q] = lo_pts[qs:qe].min(axis=0)
+                    hi_q[k, q] = hi_pts[qs:qe].max(axis=0)
         sph_lo, sph_hi = jnp.asarray(lo), jnp.asarray(hi)
         sph_valid = jnp.asarray(valid)
+        sph_lo_q, sph_hi_q = jnp.asarray(lo_q), jnp.asarray(hi_q)
     else:
         sph = jnp.zeros((9, 0, 8, GROUPS), jnp.float32)
         sph_lo = jnp.zeros((0, 3), jnp.float32)
         sph_hi = jnp.zeros((0, 3), jnp.float32)
         sph_valid = jnp.zeros((0,), jnp.int32)
+        sph_lo_q = jnp.zeros((0, QUARTERS, 3), jnp.float32)
+        sph_hi_q = jnp.zeros((0, QUARTERS, 3), jnp.float32)
 
     n_spheres = spheres.count if spheres is not None else 0
     if triangles is not None and triangles.count:
@@ -259,6 +281,8 @@ def pack_clusters(
         lo = np.full((kb, 3), np.inf, f32)
         hi = np.full((kb, 3), -np.inf, f32)
         valid = np.zeros((kb,), np.int32)
+        lo_q = np.full((kb, QUARTERS, 3), np.nan, f32)
+        hi_q = np.full((kb, QUARTERS, 3), np.nan, f32)
         for k in range(kb):
             end = min((k + 1) * BLOCK, v0.shape[0])
             if end > k * BLOCK:
@@ -266,16 +290,26 @@ def pack_clusters(
                 lo[k] = pts[sl].min(axis=(0, 1))
                 hi[k] = pts[sl].max(axis=(0, 1))
                 valid[k] = 1
+            for q in range(QUARTERS):
+                qs = k * BLOCK + q * QBLOCK
+                qe = min(qs + QBLOCK, v0.shape[0])
+                if qe > qs:
+                    lo_q[k, q] = pts[qs:qe].min(axis=(0, 1))
+                    hi_q[k, q] = pts[qs:qe].max(axis=(0, 1))
         tri_lo, tri_hi = jnp.asarray(lo), jnp.asarray(hi)
         tri_valid = jnp.asarray(valid)
+        tri_lo_q, tri_hi_q = jnp.asarray(lo_q), jnp.asarray(hi_q)
     else:
         tri = jnp.zeros((17, 0, 8, GROUPS), jnp.float32)
         tri_lo = jnp.zeros((0, 3), jnp.float32)
         tri_hi = jnp.zeros((0, 3), jnp.float32)
         tri_valid = jnp.zeros((0,), jnp.int32)
+        tri_lo_q = jnp.zeros((0, QUARTERS, 3), jnp.float32)
+        tri_hi_q = jnp.zeros((0, QUARTERS, 3), jnp.float32)
 
     return ClusterPack(sph, sph_lo, sph_hi, sph_valid,
-                       tri, tri_lo, tri_hi, tri_valid)
+                       tri, tri_lo, tri_hi, tri_valid,
+                       sph_lo_q, sph_hi_q, tri_lo_q, tri_hi_q)
 
 
 def live_clusters(
