@@ -160,10 +160,72 @@ def build_frame_batch_step(scene: Scene, cfg: RenderConfig, batch: int,
     return batch_step
 
 
+WARM_BOUNCE_LIMIT = 4
+
+
+class WarmStartStep:
+    """Cold-start mitigation. The reference paints its first frame
+    instantly (TerminalRayTracer.c:1235-1370); the depth-10 unrolled
+    Pallas program first-compiles in minutes on a cold compile cache.
+    This wrapper streams with a SHALLOW (bounce_limit=4) variant of the
+    same program immediately — the unrolled body is ~2.5x smaller, so
+    the compile lands in tens of seconds — while a daemon thread
+    compiles the full-depth program and swaps it in when ready. Until
+    the swap, reflection chains truncate at 4 bounces (visually:
+    slightly dimmer mirror-in-mirror detail for a few seconds; the
+    demo scene's contribution products fall below CONTRIBUTION_EPS
+    within ~4-6 bounces almost everywhere).
+
+    Measured on the axon tunnel (2026-08-17, streaming tier 240x64x10spp
+    bounce-10): first frame at ~211 s with warm-start vs ~804 s without
+    (3.8x) — the remote compile service did NOT serve a cross-process
+    cache hit for either structure that session, so the shallow compile
+    always pays off. The residual ~200 s floor is the backend, not the
+    program: ~90 s first device->host fetch per process plus the small
+    program's remote compile; a local TPU runtime would paint in
+    seconds."""
+
+    def __init__(self, scene: Scene, cfg: RenderConfig, batch: int,
+                 renderer: str):
+        import threading
+
+        self.step = None
+        self.warming = cfg.bounce_limit > WARM_BOUNCE_LIMIT
+        if self.warming:
+            shallow = cfg.with_(bounce_limit=WARM_BOUNCE_LIMIT)
+            self.step = build_frame_batch_step(scene, shallow, batch,
+                                               renderer)
+            threading.Thread(
+                target=self._compile_deep,
+                args=(scene, cfg, batch, renderer),
+                daemon=True,
+            ).start()
+        else:
+            self.step = build_frame_batch_step(scene, cfg, batch, renderer)
+
+    def _compile_deep(self, scene, cfg, batch, renderer):
+        try:
+            deep = build_frame_batch_step(scene, cfg, batch, renderer)
+            out = deep(
+                jnp.zeros((), cfg.dtype), jnp.zeros(3, cfg.dtype)
+            )
+            jax.block_until_ready(out)
+            self.step = deep  # atomic rebind; issuers pick it up next batch
+            self.warming = False
+            log("warm-start: full-depth kernel compiled, swapped in")
+        except Exception as e:  # keep streaming shallow rather than die
+            self.warming = False
+            log(f"warm-start: full-depth compile failed ({e!r}); "
+                f"continuing at bounce_limit={WARM_BOUNCE_LIMIT}")
+
+    def __call__(self, t0, cam_offset):
+        return self.step(t0, cam_offset)
+
+
 def _run_animation_batched(cfg: RenderConfig, scene: Scene, batch: int,
                            max_frames: int | None, interactive: bool,
                            renderer: str, stats: bool,
-                           pipeline: int) -> float:
+                           pipeline: int, warm_start: bool = True) -> float:
     """Batched streaming loop: ``batch`` frames per device program + ONE
     compact-RGB fetch, several fetches in flight, host-side native ANSI
     expansion, per-frame 60 fps pacing. Keyboard camera input applies at
@@ -177,7 +239,10 @@ def _run_animation_batched(cfg: RenderConfig, scene: Scene, batch: int,
     from ttrt.term.encoder import encode_ansi_host
     from ttrt.utils.profiling import FrameMeter, StageTimers
 
-    batch_step = build_frame_batch_step(scene, cfg, batch, renderer)
+    batch_step = (
+        WarmStartStep(scene, cfg, batch, renderer) if warm_start
+        else build_frame_batch_step(scene, cfg, batch, renderer)
+    )
     host_enc = (
         native.NativeAnsiEncoder(cfg.height, cfg.width)
         if native.available else None
@@ -267,7 +332,8 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   pathtrace: bool = False,
                   seed: int = 0,
                   renderer: str = "auto",
-                  batch: int = 0) -> float:
+                  batch: int = 0,
+                  warm_start: bool = True) -> float:
     """The reference's infinite frame loop (TerminalRayTracer.c:1315-1366):
     render, draw, pace to the frame budget, print fps. Returns the last
     measured fps.
@@ -299,7 +365,7 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
     if batch > 1 and not pathtrace:
         return _run_animation_batched(
             cfg, scene, batch, max_frames, interactive, renderer, stats,
-            pipeline,
+            pipeline, warm_start,
         )
     if pathtrace:
         frame_step = build_pathtrace_frame_step(scene, cfg, encode, seed)
@@ -576,6 +642,10 @@ def main(argv=None) -> int:
                    help="render path: the Pallas TPU kernel or the "
                         "fused-XLA integrator (auto picks pallas when "
                         "supported)")
+    p.add_argument("--no-warm-start", action="store_true",
+                   help="disable the shallow-bounce warm-start: wait for "
+                        "the full-depth kernel compile before the first "
+                        "frame (see app.WarmStartStep)")
     p.add_argument("--pipeline", type=int, default=0,
                    help="frames kept in flight with threaded host copies "
                         "(hides host-link latency; camera input lags by N "
@@ -684,7 +754,8 @@ def main(argv=None) -> int:
                       scene=scene, profile_dir=args.profile,
                       stats=args.stats, pipeline=args.pipeline,
                       pathtrace=args.pathtrace, seed=args.seed,
-                      renderer=args.renderer, batch=args.batch)
+                      renderer=args.renderer, batch=args.batch,
+                      warm_start=not args.no_warm_start)
     except assets.AssetError as e:
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1
