@@ -26,12 +26,16 @@ Structure (driven by the round-1/2 kernel lessons):
     carries (the round-2 Mosaic trap); the fat ~50k-op body amortizes
     the loop overhead that killed the thin-carry bounce loops.
   * subclusters are visited NEAR-TO-FAR in camera-distance order (a
-    per-frame argsort staged through SMEM), and each is slab-tested
-    against each ray set with per-ray CURRENT-BEST pruning: a subcluster
-    whose AABB entry lies beyond every live ray's best-t is skipped with
-    one pl.when. Near-to-far ordering makes that prune converge fast —
-    once every ray has a nearer hit than the remaining boxes, the rest
-    of the sweep is slab tests only.
+    per-frame argsort staged through SMEM) in CHUNKS of four: the chunk's
+    4 nearest + 4 shadow live flags per subcluster (at QUARTER = 32-object
+    AABB granularity) are computed in the vector domain with per-ray
+    CURRENT-BEST pruning, OR-folded, and extracted with ONE
+    vector->scalar sync; the inner loop then branches on cheap scalar
+    bit tests (each jnp.any->pl.when sync measures ~300 cycles — the
+    original per-subcluster gating spent ~22% of the frame on them).
+    Near-to-far ordering makes the best-t prune converge fast — once
+    every ray has a nearer hit than the remaining boxes, the rest of the
+    sweep is flag math only.
   * shading happens at phase boundaries entirely in-kernel: materials
     and triangle normals ride the cluster pack (ClusterPack rows 5..8 /
     10..16), carried through the nearest scan as sublane-class partials
