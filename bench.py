@@ -106,7 +106,9 @@ def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
     _run_batch(step_fn, scene, series.take(2))  # warm
     pers = []
     outs = None
-    for _ in range(repeats):
+    attempts = 0
+    while len(pers) < repeats and attempts < repeats + 3:
+        attempts += 1
         small = series.take(n_small)
         big = series.take(n_big)
         t0 = time.perf_counter()
@@ -115,8 +117,29 @@ def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
         t0 = time.perf_counter()
         outs = _run_batch(step_fn, scene, big)
         t_big = time.perf_counter() - t0
-        pers.append(max((t_big - t_small) / (n_big - n_small), 1e-9))
+        slope = (t_big - t_small) / (n_big - n_small)
+        # tunnel jitter occasionally times the SMALL batch longer than
+        # the big one; a non-positive slope carries no information —
+        # discard and re-measure (bounded retries) instead of recording
+        # a clamped sentinel that poisons the *_runs spread
+        if slope > 0:
+            pers.append(slope)
+    if not pers:
+        pers = [1e-9]
     return statistics.median(pers), outs, pers
+
+
+def _mean_rays(outs) -> int:
+    """Mean per-frame trace count over a measured batch. Trace counts
+    swing strongly with camera position (reflective chains die at
+    different depths), so normalizing a many-frame time by the LAST
+    frame's count made the Mray/s numerator noisy — round 3 measured a
+    5.7M vs 3.5M rays/frame spread across camera times at an identical
+    2.2 ms frame time. The fetches happen after timing (cached values,
+    ~30 ms RTT each)."""
+    return int(
+        np.mean([int(np.asarray(o[1])) for o in outs])
+    )
 
 
 def bench_rays() -> dict:
@@ -151,7 +174,7 @@ def bench_rays() -> dict:
     compile_s = time.perf_counter() - t0
 
     sec_pal, outs, pers = _throughput(step_pallas, scene, series, repeats=5)
-    rays_per_frame = int(outs[-1][1])
+    rays_per_frame = _mean_rays(outs)
     sec_xla, _, _ = _throughput(step_xla, scene, series, repeats=3)
 
     return {
@@ -282,7 +305,7 @@ def bench_textured() -> dict:
 
     series = TimeSeries(cfg.dtype, base=900.0)
     sec, outs, pers = _throughput(step, scene, series, repeats=5)
-    rays = int(outs[-1][1])
+    rays = _mean_rays(outs)
     return {
         "mrays_textured": rays / sec / 1e6,
         "mrays_textured_runs": [rays / p / 1e6 for p in pers],
@@ -340,6 +363,27 @@ def bench_many_object() -> dict:
     sec_f, outs_f, pers_f = _throughput(step_fused, scene, series,
                                         n_small=3, n_big=9, repeats=5)
 
+    # secondary datum: EXTERIOR (fly-over) camera — the same scene viewed
+    # from outside the cloud (orbit origin scaled to r ~ 40 over the
+    # 30x30 slab). The HEADLINE camera orbits INSIDE the cloud, where the
+    # measured live fraction is ~82% and culling geometrically cannot
+    # bite (see README); the exterior view shows the near-to-far best-t
+    # prune + quarter culls converging on the same kernel.
+    @jax.jit
+    def step_fly(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        frame = frame._replace(origin=frame.origin * 20.0)
+        fb, rays = render_frame_mesh_fused(
+            scene.with_camera_frame(frame), cfg
+        )
+        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+
+    sec_fl, outs_fl, _ = _throughput(
+        step_fly, scene, series, n_small=3, n_big=9, repeats=3
+    )
+
     # round-2 comparison point: the launch-per-trace cluster kernel
     sec, outs, _ = _throughput(step, scene, series, n_small=3, n_big=9,
                                repeats=1)
@@ -363,12 +407,13 @@ def bench_many_object() -> dict:
     sec_d, outs_d, _ = _throughput(
         step_dense, scene_dense, series, n_small=3, n_big=9, repeats=1
     )
-    rays_f = int(outs_f[-1][1])
+    rays_f = _mean_rays(outs_f)
     return {
         "mrays_10k_fused": rays_f / sec_f / 1e6,
         "mrays_10k_fused_runs": [rays_f / p / 1e6 for p in pers_f],
-        "mrays_10k_cluster": int(outs[-1][1]) / sec / 1e6,
-        "mrays_10k_dense_corrected": int(outs_d[-1][1]) / sec_d / 1e6,
+        "mrays_10k_flyover": _mean_rays(outs_fl) / sec_fl / 1e6,
+        "mrays_10k_cluster": _mean_rays(outs) / sec / 1e6,
+        "mrays_10k_dense_corrected": _mean_rays(outs_d) / sec_d / 1e6,
         "grid_dims": list(scene.grid.dims),
     }
 

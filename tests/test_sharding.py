@@ -216,3 +216,48 @@ class TestShardedPathtrace:
             pathtrace_frame_sharded(
                 scene, lights, cfg, jax.random.PRNGKey(0), make_mesh(8, 1)
             )
+
+
+class TestShardedMeshFused:
+    """The monolithic fused mesh kernel under shard_map (interpret mode,
+    tile_rows=8): each device renders its (row band x sample slice) in
+    one launch; partial sums psum-combine. Tiny scene — the interpret
+    compile dominates on the CPU box."""
+
+    def test_fused_mesh_sharded_matches_single_device(self):
+        import numpy as np
+        from ttrt.assets import make_colors_skybox, skybox_from_faces
+        from ttrt.config import RenderConfig
+        from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+        from ttrt.mesh import many_sphere_scene
+        from ttrt.parallel.sharding import (
+            make_mesh,
+            render_frame_sharded_mesh_fused,
+        )
+
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=2,
+                           bounce_limit=2, dtype=jnp.float32)
+        scene = many_sphere_scene(
+            skybox_from_faces(make_colors_skybox(8), jnp.float32,
+                              procedural="colors"),
+            n_spheres=32, width_px=cfg.width, height_px=cfg.height,
+            floor_cells=2,
+        )
+        frame = jax.tree.map(lambda a: a.astype(jnp.float32),
+                             orbit_camera_frame(0.9, jnp.float32))
+        scene = scene.with_camera_frame(frame)
+        mesh = make_mesh(4, 2)
+        fb_s, rays_s = jax.jit(
+            lambda s: render_frame_sharded_mesh_fused(
+                s, cfg, mesh, interpret=True
+            )
+        )(scene)
+        fb, rays = render_frame_mesh_fused(scene, cfg, interpret=True,
+                                           tile_rows=8)
+        ref = np.asarray(fb.to_array())
+        shd = np.asarray(fb_s.to_array())
+        # per-ray math is identical; only the per-pixel AA sum
+        # reassociates across the 'samples' axis (see the Pallas demo
+        # sharding test above for the rationale)
+        np.testing.assert_allclose(ref, shd, rtol=0.0, atol=4e-7)
+        assert int(rays_s) == int(rays)
