@@ -32,6 +32,7 @@ from ttrt.scene import Scene, demo_scene
 from ttrt.term.display import KeyboardInput, SigintFlag, TerminalDisplay
 from ttrt.term.encoder import encode_ansi_frame
 from ttrt.utils.logging import log
+from ttrt.utils.watchdog import StartupWatchdog, first_output
 
 CAMERA_MOVE_SPEED = 0.1  # meters per keypress (reference stub's constant)
 
@@ -299,6 +300,7 @@ def _run_animation_batched(cfg: RenderConfig, scene: Scene, batch: int,
                             host_enc.encode(rgb) if host_enc is not None
                             else encode_ansi_host(rgb)
                         )
+                    first_output()
                     budget = cfg.frame_duration
                     now = time.monotonic()
                     deadline = (
@@ -398,6 +400,7 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                     disp.write_frame(encode_ansi_host(buf))
             else:
                 disp.write_frame(buf)
+        first_output()
         # drift-free pacing: absolute deadlines advance by the budget
         # (reference: relative nanosleep, TerminalRayTracer.c:1350-1355)
         budget = cfg.frame_duration
@@ -525,6 +528,7 @@ def run_physics(cfg: RenderConfig, skybox_name: str = "colors",
                         disp.write_frame(encode_ansi_host(buf))
                 else:
                     disp.write_frame(buf)
+                first_output()
                 budget = cfg.frame_duration
                 now = time.monotonic()
                 deadline = (now if deadline is None else deadline) + budget
@@ -591,6 +595,7 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         return encode_rgb_frame(fb)
 
     rgb = np.asarray(still(scene, jnp.asarray(t, cfg.dtype)))
+    first_output()
     if out_path.lower().endswith((".png", ".jpg", ".jpeg", ".bmp")):
         from PIL import Image
 
@@ -705,60 +710,68 @@ def main(argv=None) -> int:
         bounce_limit=args.bounces, frame_rate=args.fps, dtype=dtype,
         skybox_bilinear=args.bilinear, specular=args.specular,
     )
+    # one watchdog over the whole run: armed BEFORE the first jnp array
+    # triggers backend init (where a dead remote tunnel blocks silently
+    # for minutes); every output path signals first_output()
     try:
-        if args.show_skybox:
-            import numpy as _np
-
-            from ttrt.term.display import print_ppm
-
-            sky = assets.load_skybox(args.show_skybox, cfg.dtype)
-            faces = _np.asarray(sky.to_uint8())
-            # 2x3 face contact sheet downscaled to the requested width
-            sheet = _np.concatenate(
-                [_np.concatenate(list(faces[r * 3:(r + 1) * 3]), axis=1)
-                 for r in range(2)],
-                axis=0,
-            )
-            step = max(1, sheet.shape[1] // max(args.width, 8))
-            print_ppm(sheet[::step * 2, ::step])
-            return 0
-        file_scene = None
-        if args.scene_file:
-            from ttrt.scenefile import load_scene_file
-
-            file_scene = load_scene_file(
-                args.scene_file, cfg.width, cfg.height, cfg.dtype
-            )
-        if args.still:
-            render_still(cfg, args.skybox, args.time, args.still,
-                         n_bands=args.bands, pathtrace=args.pathtrace,
-                         seed=args.seed, scene=file_scene,
-                         renderer=args.renderer)
-            return 0
-        if args.scene == "physics":
-            run_physics(cfg, args.skybox, args.frames,
-                        interactive=not args.no_input, encode=args.encode,
-                        checkpoint=args.checkpoint)
-            return 0
-        scene = file_scene
-        if args.scene == "many":
-            from ttrt.mesh import many_sphere_scene
-
-            skybox = assets.load_skybox(args.skybox, cfg.dtype)
-            scene = many_sphere_scene(
-                skybox, n_spheres=args.n_spheres,
-                width_px=cfg.width, height_px=cfg.height, dtype=cfg.dtype,
-            )
-        run_animation(cfg, args.skybox, args.frames,
-                      interactive=not args.no_input, encode=args.encode,
-                      scene=scene, profile_dir=args.profile,
-                      stats=args.stats, pipeline=args.pipeline,
-                      pathtrace=args.pathtrace, seed=args.seed,
-                      renderer=args.renderer, batch=args.batch,
-                      warm_start=not args.no_warm_start)
+        with StartupWatchdog():
+            return _dispatch(args, cfg)
     except assets.AssetError as e:
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1
+
+
+def _dispatch(args, cfg: RenderConfig) -> int:
+    if args.show_skybox:
+        import numpy as _np
+
+        from ttrt.term.display import print_ppm
+
+        sky = assets.load_skybox(args.show_skybox, cfg.dtype)
+        faces = _np.asarray(sky.to_uint8())
+        # 2x3 face contact sheet downscaled to the requested width
+        sheet = _np.concatenate(
+            [_np.concatenate(list(faces[r * 3:(r + 1) * 3]), axis=1)
+             for r in range(2)],
+            axis=0,
+        )
+        step = max(1, sheet.shape[1] // max(args.width, 8))
+        print_ppm(sheet[::step * 2, ::step])
+        return 0
+    file_scene = None
+    if args.scene_file:
+        from ttrt.scenefile import load_scene_file
+
+        file_scene = load_scene_file(
+            args.scene_file, cfg.width, cfg.height, cfg.dtype
+        )
+    if args.still:
+        render_still(cfg, args.skybox, args.time, args.still,
+                     n_bands=args.bands, pathtrace=args.pathtrace,
+                     seed=args.seed, scene=file_scene,
+                     renderer=args.renderer)
+        return 0
+    if args.scene == "physics":
+        run_physics(cfg, args.skybox, args.frames,
+                    interactive=not args.no_input, encode=args.encode,
+                    checkpoint=args.checkpoint)
+        return 0
+    scene = file_scene
+    if args.scene == "many":
+        from ttrt.mesh import many_sphere_scene
+
+        skybox = assets.load_skybox(args.skybox, cfg.dtype)
+        scene = many_sphere_scene(
+            skybox, n_spheres=args.n_spheres,
+            width_px=cfg.width, height_px=cfg.height, dtype=cfg.dtype,
+        )
+    run_animation(cfg, args.skybox, args.frames,
+                  interactive=not args.no_input, encode=args.encode,
+                  scene=scene, profile_dir=args.profile,
+                  stats=args.stats, pipeline=args.pipeline,
+                  pathtrace=args.pathtrace, seed=args.seed,
+                  renderer=args.renderer, batch=args.batch,
+                  warm_start=not args.no_warm_start)
     return 0
 
 
