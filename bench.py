@@ -604,38 +604,91 @@ def bench_pathtrace() -> dict:
     }
 
 
+_BACKEND_INIT_TIMEOUT_S = 900.0
+
+
+def _init_backend():
+    """jax.devices() with a hard timeout: a dead remote tunnel blocks
+    backend init FOREVER (observed this round), and a bench that hangs
+    forever records nothing. Returns the device or None; keep-alives go
+    to stderr meanwhile (stdout stays reserved for the one JSON line)."""
+    import threading
+
+    from ttrt.utils.watchdog import StartupWatchdog
+
+    box = {}
+    th = threading.Thread(
+        target=lambda: box.setdefault("d", jax.devices()), daemon=True
+    )
+    with StartupWatchdog("backend init (bench)", interval=60.0):
+        th.start()
+        th.join(_BACKEND_INIT_TIMEOUT_S)
+    return box["d"][0] if "d" in box else None
+
+
 def main() -> int:
-    backend = jax.devices()[0]
-    r = bench_rays()
-    s = bench_streaming()
+    from ttrt.utils.logging import log
+
+    backend = _init_backend()
+    if backend is None:
+        print(json.dumps({
+            "metric": "demo-scene ray throughput (480x280x10spp, 10-bounce, f32, pallas)",
+            "value": 0.0,
+            "unit": "Mray/s",
+            "vs_baseline": 0.0,
+            "error": (
+                f"backend init timed out after {_BACKEND_INIT_TIMEOUT_S:.0f}s"
+                " (remote tunnel down?) — no measurement taken"
+            ),
+        }))
+        return 1
+
+    def run_tier(fn):
+        # a tier failure must not kill the bench; start/end logs make a
+        # silently-compiling tier distinguishable from a hang
+        t0 = time.perf_counter()
+        log(f"bench: {fn.__name__} ...")
+        try:
+            res = fn()
+            log(f"bench: {fn.__name__} done in "
+                f"{time.perf_counter() - t0:.0f}s")
+            return res
+        except Exception as e:
+            log(f"bench: {fn.__name__} FAILED after "
+                f"{time.perf_counter() - t0:.0f}s: {e!r}")
+            return {f"{fn.__name__}_error": str(e)[:120]}
+
+    r = run_tier(bench_rays)
+    s = run_tier(bench_streaming)
     extra = {}
     for fn in (bench_textured, bench_many_object, bench_physics,
                bench_pathtrace):
-        try:
-            extra.update(fn())
-        except Exception as e:  # a tier failure must not kill the bench
-            extra[f"{fn.__name__}_error"] = str(e)[:120]
+        extra.update(run_tier(fn))
     target_mrays = 1000.0  # 1 Gray/s/chip north star (BASELINE.json)
     out = {
         "metric": "demo-scene ray throughput (480x280x10spp, 10-bounce, f32, pallas)",
-        "value": round(r["mrays_per_s"], 1),
+        "value": round(r.get("mrays_per_s", 0.0), 1),
         "unit": "Mray/s",
-        "vs_baseline": round(r["mrays_per_s"] / target_mrays, 3),
+        "vs_baseline": round(r.get("mrays_per_s", 0.0) / target_mrays, 3),
         "baseline": "1000 Mray/s/chip north-star (BASELINE.json; reference publishes none)",
-        "mrays_runs": [round(x, 1) for x in r["mrays_per_s_runs"]],
-        "mrays_xla_path": round(r["mrays_per_s_xla"], 1),
-        "rays_per_frame": int(r["rays_per_frame"]),
-        "render_frame_ms": round(r["frame_ms"], 3),
-        "render_frame_ms_xla": round(r["frame_ms_xla"], 3),
-        "compile_s": round(r["compile_s"], 1),
-        "fps_240x64_device": round(s["fps_device"], 1),
-        "fps_240x64_sync": round(s["fps_sync"], 1),
-        "fps_240x64_pipelined": round(s["fps_pipelined"], 1),
-        "fps_240x64_batched": round(s["fps_batched"], 1),
-        "stream_batch": s["stream_batch"],
+        "mrays_runs": [round(x, 1) for x in r.get("mrays_per_s_runs", [])],
+        "mrays_xla_path": round(r.get("mrays_per_s_xla", 0.0), 1),
+        "rays_per_frame": int(r.get("rays_per_frame", 0)),
+        "render_frame_ms": round(r.get("frame_ms", 0.0), 3),
+        "render_frame_ms_xla": round(r.get("frame_ms_xla", 0.0), 3),
+        "compile_s": round(r.get("compile_s", 0.0), 1),
+        "fps_240x64_device": round(s.get("fps_device", 0.0), 1),
+        "fps_240x64_sync": round(s.get("fps_sync", 0.0), 1),
+        "fps_240x64_pipelined": round(s.get("fps_pipelined", 0.0), 1),
+        "fps_240x64_batched": round(s.get("fps_batched", 0.0), 1),
+        "stream_batch": s.get("stream_batch", 0),
         "median_of": 5,
         "device": str(backend),
     }
+    for d in (r, s):
+        for k in d:
+            if k.endswith("_error"):
+                out[k] = d[k]
     for k, v in extra.items():
         if isinstance(v, list) and v and isinstance(v[0], float):
             out[k] = [round(x, 1) for x in v]
