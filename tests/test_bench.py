@@ -1,0 +1,130 @@
+"""bench.py driver-contract tests (stubbed — no device timing here).
+
+The driver runs ``python bench.py`` at round end and records the ONE
+JSON stdout line; these tests pin the contract under failure modes
+observed on the remote tunnel: dead backend at init, a tier raising
+mid-run, and the slope/ray-count estimators' edge cases."""
+
+import io
+import json
+import contextlib
+
+import numpy as np
+import pytest
+
+import bench
+
+
+def _rays_result():
+    return {
+        "mrays_per_s": 2000.0,
+        "mrays_per_s_runs": [1900.0, 2000.0, 2100.0],
+        "mrays_per_s_xla": 500.0,
+        "rays_per_frame": 123,
+        "frame_ms": 2.0,
+        "frame_ms_xla": 8.0,
+        "compile_s": 10.0,
+    }
+
+
+def _stream_result():
+    return {
+        "fps_device": 3000.0,
+        "fps_sync": 25.0,
+        "fps_pipelined": 70.0,
+        "fps_batched": 400.0,
+        "stream_batch": 8,
+    }
+
+
+@pytest.fixture
+def stubbed(monkeypatch):
+    monkeypatch.setattr(bench, "_init_backend", lambda: "TestDevice(0)")
+    monkeypatch.setattr(bench, "bench_rays", _rays_result)
+    monkeypatch.setattr(bench, "bench_streaming", _stream_result)
+    for name in ("bench_textured", "bench_many_object", "bench_physics",
+                 "bench_pathtrace"):
+        monkeypatch.setattr(bench, name, dict)
+
+
+def _run_main():
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = bench.main()
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 1, "bench must print exactly ONE stdout line"
+    return rc, json.loads(lines[0])
+
+
+class TestMainContract:
+    def test_happy_path_json_shape(self, stubbed):
+        rc, out = _run_main()
+        assert rc == 0
+        assert out["value"] == 2000.0
+        assert out["unit"] == "Mray/s"
+        assert out["vs_baseline"] == 2.0
+        assert out["mrays_runs"] == [1900.0, 2000.0, 2100.0]
+        assert out["fps_240x64_batched"] == 400.0
+
+    def test_dead_backend_emits_error_json(self, stubbed, monkeypatch):
+        monkeypatch.setattr(bench, "_init_backend", lambda: None)
+        rc, out = _run_main()
+        assert rc == 1
+        assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
+        assert "timed out" in out["error"]
+        # still a well-formed driver line
+        for k in ("metric", "value", "unit", "vs_baseline"):
+            assert k in out
+
+    def test_headline_tier_failure_is_isolated(self, stubbed, monkeypatch):
+        def bench_rays():
+            raise RuntimeError("tunnel reset")
+
+        monkeypatch.setattr(bench, "bench_rays", bench_rays)
+        rc, out = _run_main()
+        assert rc == 0
+        assert out["value"] == 0.0
+        assert "tunnel reset" in out["bench_rays_error"]
+        # the other tiers still report
+        assert out["fps_240x64_batched"] == 400.0
+
+    def test_extra_tier_failure_is_isolated(self, stubbed, monkeypatch):
+        def bench_many_object():
+            raise RuntimeError("compile blew up")
+
+        monkeypatch.setattr(bench, "bench_many_object", bench_many_object)
+        rc, out = _run_main()
+        assert rc == 0
+        assert out["value"] == 2000.0
+        assert "compile blew up" in out["bench_many_object_error"]
+
+
+class TestEstimators:
+    def test_mean_rays_averages_over_batch(self):
+        outs = [(None, np.int64(4)), (None, np.int64(6)),
+                (None, np.int64(8))]
+        assert bench._mean_rays(outs) == 6
+
+    def test_throughput_discards_nonpositive_slopes(self, monkeypatch):
+        # a jittered pair (small slower than big) must be re-measured,
+        # not clamped into the recorded spread
+        times = iter([
+            0.0, 1.0,            # attempt 1 small: 1.0s
+            1.0, 1.5,            # attempt 1 big: 0.5s  -> slope < 0, drop
+            0.0, 0.1,            # attempt 2 small: 0.1s
+            0.0, 0.3,            # attempt 2 big: 0.3s  -> slope > 0, keep
+        ])
+        monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
+        monkeypatch.setattr(
+            bench, "_run_batch", lambda fn, scene, batch: [(None, 1)]
+        )
+
+        class Series:
+            def take(self, n):
+                return list(range(n))
+
+        sec, outs, pers = bench._throughput(
+            None, None, Series(), n_small=1, n_big=3, repeats=1
+        )
+        assert pers == [pytest.approx(0.1)]
+        assert sec == pytest.approx(0.1)
