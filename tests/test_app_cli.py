@@ -137,3 +137,101 @@ def test_specular_flag_runs():
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     _check_stream(r.stdout, 1, 16, 8)
+
+
+class TestRendererRouting:
+    """_pick_renderer: each scene type routes to its production kernel
+    on a TPU backend; extensions the kernels don't serve fall back to
+    the XLA integrator (the oracle)."""
+
+    def _demo_scene(self):
+        import jax.numpy as jnp
+
+        from ttrt.assets import make_colors_skybox, skybox_from_faces
+        from ttrt.scene import demo_scene
+
+        sky = skybox_from_faces(make_colors_skybox(8), jnp.float32,
+                                procedural="colors")
+        return demo_scene(sky, 16, 8, jnp.float32)
+
+    def _mesh_scene(self):
+        import jax.numpy as jnp
+
+        from ttrt.assets import make_colors_skybox, skybox_from_faces
+        from ttrt.mesh import many_sphere_scene
+
+        sky = skybox_from_faces(make_colors_skybox(8), jnp.float32,
+                                procedural="colors")
+        return many_sphere_scene(sky, n_spheres=32, width_px=16,
+                                 height_px=8)
+
+    def _cfg(self, **kw):
+        import jax.numpy as jnp
+
+        from ttrt.config import RenderConfig
+
+        kw.setdefault("dtype", jnp.float32)
+        return RenderConfig(width=16, height=8, rays_per_pixel=2,
+                            bounce_limit=2, **kw)
+
+    @pytest.fixture
+    def tpu_backend(self, monkeypatch):
+        import ttrt.app as app
+
+        monkeypatch.setattr(app.jax, "default_backend", lambda: "tpu")
+
+    def test_demo_scene_routes_to_pallas(self, tpu_backend):
+        from ttrt.app import _pick_renderer
+        from ttrt.kernels.render_pallas import render_frame_pallas
+
+        assert _pick_renderer(
+            self._demo_scene(), self._cfg()
+        ) is render_frame_pallas
+
+    def test_demo_scene_specular_stays_pallas(self, tpu_backend):
+        # round-3 in-kernel specular: the flag must not demote the path
+        from ttrt.app import _pick_renderer
+        from ttrt.kernels.render_pallas import render_frame_pallas
+
+        assert _pick_renderer(
+            self._demo_scene(), self._cfg(specular=True)
+        ) is render_frame_pallas
+
+    def test_mesh_scene_routes_to_fused_kernel(self, tpu_backend):
+        from ttrt.app import _pick_renderer
+        from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+
+        assert _pick_renderer(
+            self._mesh_scene(), self._cfg()
+        ) is render_frame_mesh_fused
+
+    def test_mesh_scene_specular_falls_back_to_xla(self, tpu_backend):
+        from ttrt.app import _pick_renderer
+        from ttrt.render.integrator import render_frame
+
+        assert _pick_renderer(
+            self._mesh_scene(), self._cfg(specular=True)
+        ) is render_frame
+
+    def test_bilinear_falls_back_to_xla(self, tpu_backend):
+        from ttrt.app import _pick_renderer
+        from ttrt.render.integrator import render_frame
+
+        assert _pick_renderer(
+            self._demo_scene(), self._cfg(skybox_bilinear=True)
+        ) is render_frame
+
+    def test_cpu_backend_uses_xla(self):
+        from ttrt.app import _pick_renderer
+        from ttrt.render.integrator import render_frame
+
+        assert _pick_renderer(
+            self._demo_scene(), self._cfg()
+        ) is render_frame
+
+    def test_explicit_pallas_raises_when_unavailable(self, tpu_backend):
+        from ttrt.app import _pick_renderer
+
+        with pytest.raises(ValueError):
+            _pick_renderer(self._demo_scene(),
+                           self._cfg(skybox_bilinear=True), "pallas")
