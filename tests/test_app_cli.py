@@ -144,14 +144,14 @@ class TestRendererRouting:
     on a TPU backend; extensions the kernels don't serve fall back to
     the XLA integrator (the oracle)."""
 
-    def _demo_scene(self):
+    def _demo_scene(self, procedural="colors"):
         import jax.numpy as jnp
 
         from ttrt.assets import make_colors_skybox, skybox_from_faces
         from ttrt.scene import demo_scene
 
         sky = skybox_from_faces(make_colors_skybox(8), jnp.float32,
-                                procedural="colors")
+                                procedural=procedural)
         return demo_scene(sky, 16, 8, jnp.float32)
 
     def _mesh_scene(self):
@@ -213,12 +213,22 @@ class TestRendererRouting:
             self._mesh_scene(), self._cfg(specular=True)
         ) is render_frame
 
-    def test_bilinear_falls_back_to_xla(self, tpu_backend):
+    def test_bilinear_procedural_stays_pallas(self, tpu_backend):
+        # bilinear is gather-free for procedural skies: served in-kernel
+        from ttrt.app import _pick_renderer
+        from ttrt.kernels.render_pallas import render_frame_pallas
+
+        assert _pick_renderer(
+            self._demo_scene(), self._cfg(skybox_bilinear=True)
+        ) is render_frame_pallas
+
+    def test_bilinear_image_skybox_falls_back_to_xla(self, tpu_backend):
         from ttrt.app import _pick_renderer
         from ttrt.render.integrator import render_frame
 
         assert _pick_renderer(
-            self._demo_scene(), self._cfg(skybox_bilinear=True)
+            self._demo_scene(procedural=None),
+            self._cfg(skybox_bilinear=True),
         ) is render_frame
 
     def test_cpu_backend_uses_xla(self):
@@ -233,5 +243,5 @@ class TestRendererRouting:
         from ttrt.app import _pick_renderer
 
         with pytest.raises(ValueError):
-            _pick_renderer(self._demo_scene(),
+            _pick_renderer(self._demo_scene(procedural=None),
                            self._cfg(skybox_bilinear=True), "pallas")

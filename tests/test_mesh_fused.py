@@ -94,3 +94,61 @@ class TestFusedParity:
         np.testing.assert_array_equal(x1, x2)
         np.testing.assert_array_equal(y1, y2)
         assert int(r1) == int(r2)
+
+
+class TestFusedBilinear:
+    """The bilinear extension on the fused mesh kernel: procedural skies
+    are served in-kernel (same 4-tap pattern replay as the demo kernel,
+    bit-exactness covered by test_pallas_kernel's tap test); image
+    cubemaps refuse with a pointer to the XLA path."""
+
+    def _scene_cfg(self, procedural="uv_checker"):
+        import jax
+        import jax.numpy as jnp
+
+        from ttrt.assets import make_uv_checker_skybox, skybox_from_faces
+        from ttrt.config import RenderConfig
+        from ttrt.frames import orbit_camera_frame
+        from ttrt.mesh import many_sphere_scene
+
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=1,
+                           bounce_limit=1, dtype=jnp.float32)
+        scene = many_sphere_scene(
+            skybox_from_faces(make_uv_checker_skybox(16), jnp.float32,
+                              procedural=procedural),
+            n_spheres=32, width_px=cfg.width, height_px=cfg.height,
+            floor_cells=2,
+        )
+        frame = jax.tree.map(lambda a: a.astype(jnp.float32),
+                             orbit_camera_frame(0.9, jnp.float32))
+        return scene.with_camera_frame(frame), cfg
+
+    def test_bilinear_flag_reaches_kernel(self):
+        import numpy as np
+
+        from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+
+        scene, cfg = self._scene_cfg()
+        fb_n, _ = render_frame_mesh_fused(scene, cfg, interpret=True,
+                                          tile_rows=8)
+        fb_b, _ = render_frame_mesh_fused(
+            scene, cfg.with_(skybox_bilinear=True), interpret=True,
+            tile_rows=8,
+        )
+        a = np.asarray(fb_n.to_array())
+        b = np.asarray(fb_b.to_array())
+        assert not np.array_equal(a, b), (
+            "bilinear filtering did not change the sky"
+        )
+
+    def test_bilinear_image_cubemap_refused(self):
+        import pytest as _pytest
+
+        from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+
+        scene, cfg = self._scene_cfg(procedural=None)
+        with _pytest.raises(ValueError, match="bilinear"):
+            render_frame_mesh_fused(
+                scene, cfg.with_(skybox_bilinear=True), interpret=True,
+                tile_rows=8,
+            )

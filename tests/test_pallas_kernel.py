@@ -99,13 +99,15 @@ def knife_mask(scene, cfg, q_ref: np.ndarray, eps: float) -> np.ndarray:
     return (imgs != q_ref[None]).any(axis=(0, 3))
 
 
-def _small_setup(skybox_maker=make_colors_skybox, t=0.7):
+def _small_setup(skybox_maker=make_colors_skybox, t=0.7, procedural=None,
+                 bilinear=False):
     cfg = RenderConfig(
         width=32, height=16, rays_per_pixel=2, bounce_limit=10,
-        dtype=jnp.float32,
+        dtype=jnp.float32, skybox_bilinear=bilinear,
     )
     scene = demo_scene(
-        skybox_from_faces(skybox_maker(16), jnp.float32),
+        skybox_from_faces(skybox_maker(16), jnp.float32,
+                          procedural=procedural),
         cfg.width, cfg.height, jnp.float32,
     )
     frame = jax.tree.map(
@@ -114,12 +116,20 @@ def _small_setup(skybox_maker=make_colors_skybox, t=0.7):
     return scene.with_camera_frame(frame), cfg
 
 
-@pytest.mark.parametrize("maker,t", [
-    (make_colors_skybox, 0.7),
-    (make_uv_checker_skybox, 3.3),
+@pytest.mark.parametrize("maker,t,procedural,bilinear,knife_cap", [
+    (make_colors_skybox, 0.7, None, False, 0.20),
+    (make_uv_checker_skybox, 3.3, None, False, 0.20),
+    # the bilinear extension on a PROCEDURAL sky: in-kernel 4-tap
+    # pattern replay vs the XLA oracle's 4-tap table fetch. The knife
+    # set is measurably wider than nearest (21.1% at this frame):
+    # lerped checker edges move under ulp perturbations, so more
+    # pixels are legitimately perturbation-unstable — the exactness
+    # bar (zero uncovered flips) is unchanged.
+    (make_uv_checker_skybox, 1.9, "uv_checker", True, 0.27),
 ])
-def test_pallas_quantized_exact_off_knife_edges(maker, t):
-    scene, cfg = _small_setup(maker, t)
+def test_pallas_quantized_exact_off_knife_edges(maker, t, procedural,
+                                                bilinear, knife_cap):
+    scene, cfg = _small_setup(maker, t, procedural, bilinear)
     fb_ref, rays_ref = render_frame(scene, cfg, count_rays=True)
     fb_pal, rays_pal = render_frame_pallas(scene, cfg, interpret=True)
 
@@ -157,7 +167,7 @@ def test_pallas_quantized_exact_off_knife_edges(maker, t):
     # fraction + margin (scratch/knife_fraction.py, 2026-08-17: colors
     # 12.1%, uv_checker 15.2% — was a soft 40% in round 2):
     n_px = flips.shape[0] * flips.shape[1]
-    assert knife.mean() <= 0.20, (
+    assert knife.mean() <= knife_cap, (
         f"knife enumeration too broad [{class_counts}]"
     )
     assert flips.any(axis=-1).sum() <= 0.03 * n_px
@@ -212,6 +222,58 @@ def test_procedural_sky_matches_textured_exactly(name):
     img_proc, rays_proc = render(sky_tagged)
     np.testing.assert_array_equal(img_proc, img_tex)
     assert rays_tex == rays_proc
+
+
+@pytest.mark.parametrize("name,maker", [
+    ("colors", make_colors_skybox),
+    ("uv_checker", make_uv_checker_skybox),
+])
+def test_bilinear_procedural_taps_match_table(name, maker):
+    """_sky_color_procedural_bilinear = 4 gather-free pattern replays +
+    the exact lerp of sample_skybox(bilinear=True). At IDENTICAL
+    (face, u, v) the taps must be bit-identical to packed-table fetches
+    and the blend bit-identical to the XLA blend — so compare against a
+    table-tap oracle built on the kernel's own uv derivation (the uv
+    derivations themselves differ in ulp between paths; that class is
+    covered by the whole-frame knife-enumeration test)."""
+    from ttrt.kernels.render_pallas import (
+        _sky_color_procedural_bilinear,
+        _sky_face_uv_cont,
+    )
+    from ttrt.render.skybox import _unpack
+
+    dim = 16
+    sky = skybox_from_faces(maker(dim), jnp.float32, procedural=name)
+    flat = sky.packed.reshape(-1)
+
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=(3, 4096)).astype(np.float32)
+    dx, dy, dz = (jnp.asarray(c) for c in d)
+
+    got = _sky_color_procedural_bilinear(dx, dy, dz, dim, name)
+
+    face, u, v = _sky_face_uv_cont(dx, dy, dz)
+    fu = (u + 0.5) * dim - 0.5
+    fv = (v + 0.5) * dim - 0.5
+    u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, dim - 1)
+    v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, dim - 1)
+    u1 = jnp.minimum(u0 + 1, dim - 1)
+    v1 = jnp.minimum(v0 + 1, dim - 1)
+    wu = jnp.clip(fu - u0.astype(jnp.float32), 0.0, 1.0)
+    wv = jnp.clip(fv - v0.astype(jnp.float32), 0.0, 1.0)
+    base = face * (dim * dim)
+
+    def fetch(vi, ui):
+        return _unpack(jnp.take(flat, base + vi * dim + ui), jnp.float32)
+
+    c00, c01 = fetch(v0, u0), fetch(v0, u1)
+    c10, c11 = fetch(v1, u0), fetch(v1, u1)
+    top = c00 * (1.0 - wu) + c01 * wu
+    bot = c10 * (1.0 - wu) + c11 * wu
+    want = top * (1.0 - wv) + bot * wv
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want.x))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want.y))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want.z))
 
 
 def test_pallas_specular_matches_xla_extension():

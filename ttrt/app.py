@@ -89,7 +89,9 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
         return render_frame
     base_ok = (
         cfg.dtype == jnp.float32
-        and not cfg.skybox_bilinear
+        # bilinear: in-kernel for procedural skies; image cubemaps need
+        # the XLA path (4-tap would quadruple the deferred-gather bound)
+        and (not cfg.skybox_bilinear or scene.skybox.procedural is not None)
         and cfg.bounce_limit <= 16
         and jax.default_backend() != "cpu"
     )

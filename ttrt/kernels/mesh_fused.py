@@ -65,6 +65,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ttrt.config import RenderConfig, constants
 from ttrt.kernels.render_pallas import (LANES, _normalize3,
                                         _sky_color_procedural,
+                                        _sky_color_procedural_bilinear,
                                         _sky_texel_index, pack_camera,
                                         pack_dlights, pack_plights)
 from ttrt.mesh.clusters import GROUPS, ClusterPack
@@ -912,9 +913,11 @@ def _fused_kernel(
         dx, dy, dz = sget(DX), sget(DY), sget(DZ)
         cnt = cnt_ref[...]
         if procedural is not None:
-            skr, skg, skb = _sky_color_procedural(
-                dx, dy, dz, sky_dim, procedural
+            sky_eval = (
+                _sky_color_procedural_bilinear if cfg.skybox_bilinear
+                else _sky_color_procedural
             )
+            skr, skg, skb = sky_eval(dx, dy, dz, sky_dim, procedural)
             pr = pr + skyw * skr
             pg = pg + skyw * skg
             pb = pb + skyw * skb
@@ -1131,6 +1134,14 @@ def render_band_mesh_fused(
     per-pixel sample SUM for a cross-chip psum."""
     if cfg.dtype != jnp.float32:
         raise ValueError("fused mesh path is float32-only")
+    if cfg.skybox_bilinear and scene.skybox.procedural is None:
+        # same design decision as render_frame_pallas: 4-tap filtering of
+        # an image cubemap would quadruple the deferred-gather bound;
+        # procedural skies serve bilinear in-kernel
+        raise ValueError(
+            "fused mesh path filters image cubemaps nearest-neighbor; "
+            "use the XLA path for bilinear image skyboxes"
+        )
     if cfg.bounce_limit > 16:
         raise ValueError("fused mesh path supports bounce_limit <= 16")
     if scene.clusters is None:

@@ -422,12 +422,13 @@ def _apply_lighting(
     return clamp01(outr), clamp01(outg), clamp01(outb)  # c:960
 
 
-def _sky_face_uv(dx, dy, dz, dim: int):
-    """(face, ui, vi) texel coordinates for a direction tile
-    (get_skybox_color, TerminalRayTracer.c:700-789) with the per-face uv
-    fixups folded into the U_AXIS/V_AXIS tables (ttrt.render.skybox).
-    Branch-free: the 6-way face select is an unrolled masked max; axis/uv
-    tables are baked Python constants selected by where-chains."""
+def _sky_face_uv_cont(dx, dy, dz):
+    """(face, u, v) with u, v CONTINUOUS in [-0.5, 0.5] — the
+    pre-quantization uv of get_skybox_color (TerminalRayTracer.c:700-777)
+    with the per-face uv fixups folded into the U_AXIS/V_AXIS tables
+    (ttrt.render.skybox). Branch-free: the 6-way face select is an
+    unrolled masked max; axis/uv tables are baked Python constants
+    selected by where-chains."""
     ddx, ddy, ddz = _normalize3(dx, dy, dz)
 
     best = None
@@ -463,6 +464,13 @@ def _sky_face_uv(dx, dy, dz, dim: int):
     v = ox_ * sel(V_AXIS[:, 0]) + oy_ * sel(V_AXIS[:, 1]) + oz_ * sel(V_AXIS[:, 2])
     u = jnp.minimum(jnp.maximum(u, -0.5), 0.5)
     v = jnp.minimum(jnp.maximum(v, -0.5), 0.5)
+    return face, u, v
+
+
+def _sky_face_uv(dx, dy, dz, dim: int):
+    """(face, ui, vi) NEAREST texel coordinates (the reference's int
+    truncation, TerminalRayTracer.c:778-788)."""
+    face, u, v = _sky_face_uv_cont(dx, dy, dz)
     ui = jnp.minimum(((u + 0.5) * dim).astype(jnp.int32), dim - 1)
     vi = jnp.minimum(((v + 0.5) * dim).astype(jnp.int32), dim - 1)
     return face, ui, vi
@@ -487,18 +495,14 @@ _FACE_COLORS01 = (
 )
 
 
-def _sky_color_procedural(dx, dy, dz, dim: int, kind: str):
-    """Evaluate a PROCEDURAL cubemap in-kernel, bit-identical to the
-    stored texels (the generators in ttrt.assets compute in pure float32
-    with exactly this op order, then quantize with (x*255) truncation;
-    we replay that and divide back by 255). Eliminates the deferred texel
-    gather — by far the most expensive operation of the whole renderer
-    (XLA per-element gathers: ~8 ns each, ~10 ms/frame at the reference
-    workload)."""
-    face, ui, vi = _sky_face_uv(dx, dy, dz, dim)
+def _procedural_texel(face, ui, vi, dim: int, kind: str):
+    """Color of texel (face, row vi, column ui) of a PROCEDURAL cubemap,
+    bit-identical to the stored table (the generators in ttrt.assets
+    compute in pure float32 with exactly this op order, then quantize
+    with (x*255) truncation; we replay that and divide back by 255)."""
 
     def sel(table_col):
-        out = jnp.full_like(dx, float(table_col[0]))
+        out = jnp.full_like(ui.astype(jnp.float32), float(table_col[0]))
         for f in range(1, 6):
             out = jnp.where(face == f, float(table_col[f]), out)
         return out
@@ -530,6 +534,47 @@ def _sky_color_procedural(dx, dy, dz, dim: int, kind: str):
     # replay the generator's (x*255) -> uint8 truncation -> /255
     q = lambda x: (x * 255.0).astype(jnp.int32).astype(jnp.float32) / 255.0
     return q(r), q(g), q(b)
+
+
+def _sky_color_procedural(dx, dy, dz, dim: int, kind: str):
+    """NEAREST-texel procedural cubemap evaluation in-kernel. Eliminates
+    the deferred texel gather — by far the most expensive operation of
+    the whole renderer (XLA per-element gathers: ~8 ns each, ~10 ms/frame
+    at the reference workload)."""
+    face, ui, vi = _sky_face_uv(dx, dy, dz, dim)
+    return _procedural_texel(face, ui, vi, dim, kind)
+
+
+def _sky_color_procedural_bilinear(dx, dy, dz, dim: int, kind: str):
+    """4-tap BILINEAR procedural cubemap evaluation in-kernel,
+    gather-free: evaluates the pattern at the four neighboring texel
+    centers and blends with exactly sample_skybox(bilinear=True)'s op
+    order (ttrt.render.skybox), so it matches the XLA extension path
+    bit-for-bit at identical (face, u, v). Taps clamp within the face,
+    as the XLA path. Serves the reference's bilinear roadmap item
+    (TerminalRayTracer.c:21-33) on the production kernel for procedural
+    skies; IMAGE cubemaps stay XLA-owned — there a 4-tap filter would
+    quadruple the measured gather bound (see render_frame_pallas's
+    design note)."""
+    face, u, v = _sky_face_uv_cont(dx, dy, dz)
+    fu = (u + 0.5) * dim - 0.5
+    fv = (v + 0.5) * dim - 0.5
+    u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, dim - 1)
+    v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, dim - 1)
+    u1 = jnp.minimum(u0 + 1, dim - 1)
+    v1 = jnp.minimum(v0 + 1, dim - 1)
+    wu = jnp.clip(fu - u0.astype(jnp.float32), 0.0, 1.0)
+    wv = jnp.clip(fv - v0.astype(jnp.float32), 0.0, 1.0)
+    c00 = _procedural_texel(face, u0, v0, dim, kind)
+    c01 = _procedural_texel(face, u1, v0, dim, kind)
+    c10 = _procedural_texel(face, u0, v1, dim, kind)
+    c11 = _procedural_texel(face, u1, v1, dim, kind)
+    out = []
+    for ch in range(3):
+        top = c00[ch] * (1.0 - wu) + c01[ch] * wu
+        bot = c10[ch] * (1.0 - wu) + c11[ch] * wu
+        out.append(top * (1.0 - wv) + bot * wv)
+    return tuple(out)
 
 
 # ---------------------------------------------------------------------------
@@ -618,7 +663,9 @@ def _render_kernel_acc(
         specular=cfg.specular,
     )
 
-    skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, procedural)
+    sky_eval = (_sky_color_procedural_bilinear if cfg.skybox_bilinear
+                else _sky_color_procedural)
+    skr, skg, skb = sky_eval(dx, dy, dz, sky_dim, procedural)
     # finalize THIS sample: (pixel + w*sky) / contribution_total
     # (guard the padding lanes' total==0; they are sliced off outside)
     inv_total = 1.0 / jnp.where(total > 0.0, total, 1.0)
@@ -871,7 +918,10 @@ def _render_kernel(
     if procedural is not None:
         # gather-free path: evaluate the cubemap pattern in-kernel and fold
         # the sky contribution straight into the pixel accumulators
-        skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, procedural)
+        # (bilinear extension: same pattern replay, 4 taps + 2 lerps)
+        sky_eval = (_sky_color_procedural_bilinear if cfg.skybox_bilinear
+                    else _sky_color_procedural)
+        skr, skg, skb = sky_eval(dx, dy, dz, sky_dim, procedural)
         pr = pr + sky_w * skr
         pg = pg + sky_w * skg
         pb = pb + sky_w * skb
@@ -1158,28 +1208,34 @@ def render_frame_pallas(
     arbitrary-index in-kernel gather to beat it). Ignored for procedural
     skyboxes.
 
-    Restrictions vs the fused-XLA path: float32 only, nearest-neighbor
-    skybox (the reference's semantics; bilinear is an extension served by
-    the XLA path — see the design note at the skybox_bilinear check).
-    The Blinn-Phong specular extension (cfg.specular) IS served
-    in-kernel, mirroring ttrt.render.lighting's math."""
+    Restrictions vs the fused-XLA path: float32 only; image cubemaps are
+    nearest-neighbor (the reference's semantics; their bilinear extension
+    is served by the XLA path — see the design note at the
+    skybox_bilinear check). PROCEDURAL skies serve bilinear in-kernel
+    (gather-free 4-tap pattern replay), and the Blinn-Phong specular
+    extension (cfg.specular) is served in-kernel, mirroring
+    ttrt.render.lighting's math."""
     if cfg.dtype != jnp.float32:
         raise ValueError("pallas path is float32-only")
-    if cfg.skybox_bilinear:
-        # DESIGN DECISION (VERDICT r2 item 8): bilinear filtering stays
-        # on the XLA path. The pallas path's whole textured-sky design is
-        # ONE deferred texel index per ray riding the counter stream
-        # (every extra output stream measurably slows the launch, and
-        # the epilogue gather is already the measured textured-tier
+    if cfg.skybox_bilinear and scene.skybox.procedural is None:
+        # DESIGN DECISION (VERDICT r2 item 8): bilinear filtering of
+        # IMAGE cubemaps stays on the XLA path. The pallas textured-sky
+        # design is ONE deferred texel index per ray riding the counter
+        # stream (every extra output stream measurably slows the launch,
+        # and the epilogue gather is already the measured textured-tier
         # bound at ~2.4-3 cycles/fetch); 4-tap filtering would quadruple
         # the gather and add two fractional-weight streams. The
         # reference's own default is nearest (bilinear is its in-file
         # TODO, TerminalRayTracer.c:21-33) — the extension is served,
-        # just by the path built for it. See README "TPU-first design
-        # decisions".
+        # just by the path built for it. PROCEDURAL skies ARE served
+        # bilinear in-kernel (_sky_color_procedural_bilinear): the 4
+        # taps are gather-free pattern replays, so the argument above
+        # does not apply. See README "TPU-first design decisions".
         raise ValueError(
-            "pallas path implements nearest-neighbor skybox; the bilinear "
-            "extension is served by the XLA path (--renderer xla)"
+            "pallas path filters image cubemaps nearest-neighbor; the "
+            "bilinear extension on image skyboxes is served by the XLA "
+            "path (--renderer xla). Procedural skies support bilinear "
+            "in-kernel."
         )
     if cfg.bounce_limit > 16:
         # the bounce chain is fully unrolled; keep compile time/program
