@@ -349,6 +349,11 @@ def pathtrace_frame_pallas(
         )
     if cfg.bounce_limit > 10:
         raise ValueError("pallas pathtrace supports bounce_limit <= 10")
+    if lights.count > 9:
+        # the NEE purpose stream (10 + 3*li, +1) would collide with the
+        # cosine-draw stream (purpose 40) at li=10, silently correlating
+        # samples; widen the purpose map before lifting this
+        raise ValueError("pallas pathtrace supports <= 9 area lights")
     H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
     packed = pack_scene(scene, jnp.float32)
     al = pack_area_lights(lights, jnp.float32)
