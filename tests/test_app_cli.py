@@ -91,6 +91,26 @@ def test_still_ppm(tmp_path):
     assert dims.strip() == b"32 16"
 
 
+def test_still_many_scene(tmp_path):
+    """--still honors --scene many (previously fell through to the demo
+    scene silently): the rendered image must differ from the demo still
+    at identical settings."""
+    out_many = str(tmp_path / "many.ppm")
+    out_demo = str(tmp_path / "demo.ppm")
+    common = ["--width", "32", "--height", "16", "--spp", "1",
+              "--time", "1.0", "--skybox", "colors"]
+    r = _run(["--still", out_many, "--scene", "many",
+              "--n-spheres", "64", *common])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(["--still", out_demo, *common])
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out_many, "rb") as f:
+        many = f.read()
+    with open(out_demo, "rb") as f:
+        demo = f.read()
+    assert many[:15] != b"" and many != demo
+
+
 def test_bad_flags_rejected():
     r = _run(["--width", "0"])
     assert r.returncode == 2

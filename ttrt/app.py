@@ -760,17 +760,6 @@ def _dispatch(args, cfg: RenderConfig) -> int:
         file_scene = load_scene_file(
             args.scene_file, cfg.width, cfg.height, cfg.dtype
         )
-    if args.still:
-        render_still(cfg, args.skybox, args.time, args.still,
-                     n_bands=args.bands, pathtrace=args.pathtrace,
-                     seed=args.seed, scene=file_scene,
-                     renderer=args.renderer)
-        return 0
-    if args.scene == "physics":
-        run_physics(cfg, args.skybox, args.frames,
-                    interactive=not args.no_input, encode=args.encode,
-                    checkpoint=args.checkpoint)
-        return 0
     scene = file_scene
     if args.scene == "many":
         from ttrt.mesh import many_sphere_scene
@@ -780,6 +769,19 @@ def _dispatch(args, cfg: RenderConfig) -> int:
             skybox, n_spheres=args.n_spheres,
             width_px=cfg.width, height_px=cfg.height, dtype=cfg.dtype,
         )
+    if args.still:
+        # scene (file or many-object) honored: --still --scene many
+        # previously fell through to the demo scene silently
+        render_still(cfg, args.skybox, args.time, args.still,
+                     n_bands=args.bands, pathtrace=args.pathtrace,
+                     seed=args.seed, scene=scene,
+                     renderer=args.renderer)
+        return 0
+    if args.scene == "physics":
+        run_physics(cfg, args.skybox, args.frames,
+                    interactive=not args.no_input, encode=args.encode,
+                    checkpoint=args.checkpoint)
+        return 0
     run_animation(cfg, args.skybox, args.frames,
                   interactive=not args.no_input, encode=args.encode,
                   scene=scene, profile_dir=args.profile,
