@@ -87,3 +87,26 @@ class TestPathtracePallas:
         # per-pixel: loose 3-sigma-ish bound for 64-sample means
         assert np.abs(a - b).mean() < 0.05
         assert np.percentile(np.abs(a - b), 95) < 0.15
+
+
+def test_bilinear_flag_reaches_pathtrace_kernel():
+    """cfg.skybox_bilinear swaps the in-kernel sky eval (procedural
+    4-tap); previously the flag was silently ignored on this path. Use
+    the uv_checker sky — 'colors' is flat per face, so bilinear would be
+    indistinguishable from nearest there."""
+    import numpy as np
+
+    from ttrt.assets import make_uv_checker_skybox
+    from ttrt.kernels.pathtrace_pallas import pathtrace_frame_pallas
+
+    cfg, scene, lights = _setup(2)
+    scene = scene._replace(skybox=skybox_from_faces(
+        make_uv_checker_skybox(16), jnp.float32, procedural="uv_checker"
+    ))
+    fb_n = pathtrace_frame_pallas(scene, lights, cfg, 3, interpret=True)
+    fb_b = pathtrace_frame_pallas(
+        scene, lights, cfg.with_(skybox_bilinear=True), 3, interpret=True
+    )
+    a = np.asarray(fb_n.to_array())
+    b = np.asarray(fb_b.to_array())
+    assert not np.array_equal(a, b)

@@ -58,8 +58,9 @@ from ttrt.config import RenderConfig, constants
 from ttrt.kernels.render_pallas import (LANES, TILE_R, _normalize3,
                                         _read_tuples, _shadow_any_hit,
                                         _shadow_oc_terms,
-                                        _sky_color_procedural, _trace,
-                                        pack_scene)
+                                        _sky_color_procedural,
+                                        _sky_color_procedural_bilinear,
+                                        _trace, pack_scene)
 from ttrt.render.pathtrace import AreaLights
 from ttrt.vec import Vec3
 
@@ -268,7 +269,9 @@ def _pathtrace_kernel(
         dz = jnp.where(upd, ndz, dz)
         alive_f = jnp.where(alive & hit.is_hit & survive, 1.0, 0.0)
 
-    skr, skg, skb = _sky_color_procedural(dx, dy, dz, sky_dim, procedural)
+    sky_eval = (_sky_color_procedural_bilinear if cfg.skybox_bilinear
+                else _sky_color_procedural)
+    skr, skg, skb = sky_eval(dx, dy, dz, sky_dim, procedural)
     pix_r_ref[0] = rad_r + skyw_r * skr
     pix_g_ref[0] = rad_g + skyw_g * skg
     pix_b_ref[0] = rad_b + skyw_b * skb
