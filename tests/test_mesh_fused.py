@@ -152,3 +152,15 @@ class TestFusedBilinear:
                 scene, cfg.with_(skybox_bilinear=True), interpret=True,
                 tile_rows=8,
             )
+
+    def test_specular_refused(self):
+        import pytest as _pytest
+
+        from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+
+        scene, cfg = self._scene_cfg()
+        with _pytest.raises(ValueError, match="specular"):
+            render_frame_mesh_fused(
+                scene, cfg.with_(specular=True), interpret=True,
+                tile_rows=8,
+            )

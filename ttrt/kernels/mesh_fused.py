@@ -1142,6 +1142,14 @@ def render_band_mesh_fused(
             "fused mesh path filters image cubemaps nearest-neighbor; "
             "use the XLA path for bilinear image skyboxes"
         )
+    if cfg.specular:
+        # diffuse-only shading in-kernel (the many-object tier's material
+        # model); the XLA mesh path serves the specular extension —
+        # refuse rather than silently ignore the flag
+        raise ValueError(
+            "fused mesh path is diffuse-only; use the XLA path for the "
+            "specular extension"
+        )
     if cfg.bounce_limit > 16:
         raise ValueError("fused mesh path supports bounce_limit <= 16")
     if scene.clusters is None:
