@@ -265,3 +265,12 @@ class TestRendererRouting:
         with pytest.raises(ValueError):
             _pick_renderer(self._demo_scene(procedural=None),
                            self._cfg(skybox_bilinear=True), "pallas")
+
+
+def test_unavailable_renderer_clean_error():
+    """Config refusals exit 1 with a one-line error, not a traceback."""
+    r = _run(["--renderer", "pallas", "--frames", "1",
+              "--width", "16", "--height", "8"])
+    assert r.returncode == 1
+    assert b"ttrt: error:" in r.stderr
+    assert b"Traceback" not in r.stderr

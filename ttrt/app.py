@@ -731,7 +731,10 @@ def main(argv=None) -> int:
     try:
         with StartupWatchdog():
             return _dispatch(args, cfg)
-    except assets.AssetError as e:
+    except (assets.AssetError, ValueError) as e:
+        # config refusals (renderer/extension constraints) and asset
+        # errors are user errors: one line, no traceback (the reference
+        # exits with a printf the same way, TerminalRayTracer.c:320)
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1
 
