@@ -274,3 +274,54 @@ def test_unavailable_renderer_clean_error():
     assert r.returncode == 1
     assert b"ttrt: error:" in r.stderr
     assert b"Traceback" not in r.stderr
+
+
+def test_animation_stream_batched_warm_start():
+    """Forced --batch exercises _run_animation_batched end-to-end on CPU
+    (auto-batch picks 1 there, so CI never entered this loop): batched
+    device programs, pipelined fetches, host ANSI expansion, and the
+    WarmStartStep wrapper (bounces > WARM_BOUNCE_LIMIT arms the shallow
+    kernel + background deep compile)."""
+    w, h, frames = 24, 10, 6
+    r = _run([
+        "--width", str(w), "--height", str(h), "--spp", "1",
+        "--frames", str(frames), "--skybox", "colors", "--fps", "1000",
+        "--batch", "3", "--bounces", "6",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, frames, w, h)
+
+
+def test_warm_start_step_swaps_to_deep():
+    """WarmStartStep streams the shallow variant immediately and swaps in
+    the full-depth step when its background compile lands."""
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from ttrt.app import WARM_BOUNCE_LIMIT, WarmStartStep
+    from ttrt.assets import make_colors_skybox, skybox_from_faces
+    from ttrt.config import RenderConfig
+    from ttrt.scene import demo_scene
+
+    cfg = RenderConfig(width=16, height=8, rays_per_pixel=1,
+                       bounce_limit=WARM_BOUNCE_LIMIT + 2,
+                       dtype=jnp.float32)
+    scene = demo_scene(
+        skybox_from_faces(make_colors_skybox(8), jnp.float32,
+                          procedural="colors"),
+        cfg.width, cfg.height, jnp.float32,
+    )
+    step = WarmStartStep(scene, cfg, batch=2, renderer="xla")
+    assert step.warming  # shallow first
+    out = np.asarray(step(jnp.zeros((), jnp.float32),
+                          jnp.zeros(3, jnp.float32)))
+    assert out.shape == (2, cfg.height, cfg.width, 3)
+    deadline = _time.monotonic() + 120.0
+    while step.warming and _time.monotonic() < deadline:
+        _time.sleep(0.5)
+    assert not step.warming, "deep compile never swapped in"
+    out2 = np.asarray(step(jnp.ones((), jnp.float32),
+                           jnp.zeros(3, jnp.float32)))
+    assert out2.shape == (2, cfg.height, cfg.width, 3)
