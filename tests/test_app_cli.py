@@ -325,3 +325,16 @@ def test_warm_start_step_swaps_to_deep():
     out2 = np.asarray(step(jnp.ones((), jnp.float32),
                            jnp.zeros(3, jnp.float32)))
     assert out2.shape == (2, cfg.height, cfg.width, 3)
+
+
+def test_f64_animation_runs():
+    """--f64 routes to the XLA path at float64 (extension; the reference
+    is f32-only) and still honors the stream contract."""
+    w, h = 16, 8
+    r = _run([
+        "--f64", "--width", str(w), "--height", str(h), "--spp", "1",
+        "--frames", "1", "--skybox", "colors", "--fps", "1000",
+        "--encode", "device",
+    ])
+    assert r.returncode == 0, r.stderr[-2000:]
+    _check_stream(r.stdout, 1, w, h)
