@@ -23,11 +23,13 @@ def _run(args, timeout=420):
 
 
 def _check_stream(out: bytes, frames: int, w: int, h: int):
+    got_frames = out.count(b"\x1b[0;0H\x1b[48;2;")
+    got_cells = len(CELL_RE.findall(out))
     assert out.startswith(b"\x1b[?25l"), out[:20]
-    assert out.count(b"\x1b[0;0H\x1b[48;2;") == frames
-    assert len(CELL_RE.findall(out)) == frames * w * h
-    assert b"\x1b[?25h" in out[-40:]
-    assert b" fps\n" in out
+    assert got_frames == frames, (got_frames, frames, len(out))
+    assert got_cells == frames * w * h, (got_cells, frames * w * h)
+    assert b"\x1b[?25h" in out[-40:], out[-40:]
+    assert b" fps\n" in out, len(out)
 
 
 @pytest.mark.parametrize("encode", ["device", "host"])
