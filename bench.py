@@ -125,7 +125,14 @@ def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
         if slope > 0:
             pers.append(slope)
     if not pers:
-        pers = [1e-9]
+        # every attempt timed the small batch slower than the big one:
+        # there is no measurement here. Raise into run_tier's isolation
+        # (an *_error field) rather than record a fake slope — a 1e-9
+        # sentinel would post a ~1e15 Mray/s headline (advisor finding)
+        raise RuntimeError(
+            f"no positive slope in {attempts} attempts (tunnel jitter "
+            "swamped the batch-size delta)"
+        )
     return statistics.median(pers), outs, pers
 
 
@@ -617,29 +624,38 @@ def _init_backend():
     from ttrt.utils.watchdog import StartupWatchdog
 
     box = {}
-    th = threading.Thread(
-        target=lambda: box.setdefault("d", jax.devices()), daemon=True
-    )
+
+    def init():
+        try:
+            box["d"] = jax.devices()
+        except Exception as e:  # fast failure != timeout; report which
+            box["e"] = e
+
+    th = threading.Thread(target=init, daemon=True)
     with StartupWatchdog("backend init (bench)", interval=60.0):
         th.start()
         th.join(_BACKEND_INIT_TIMEOUT_S)
-    return box["d"][0] if "d" in box else None
+    if "d" in box:
+        return box["d"][0], None
+    if "e" in box:
+        return None, f"backend init failed: {box['e']!r}"
+    return None, (
+        f"backend init timed out after {_BACKEND_INIT_TIMEOUT_S:.0f}s"
+        " (remote tunnel down?)"
+    )
 
 
 def main() -> int:
     from ttrt.utils.logging import log
 
-    backend = _init_backend()
+    backend, init_err = _init_backend()
     if backend is None:
         print(json.dumps({
             "metric": "demo-scene ray throughput (480x280x10spp, 10-bounce, f32, pallas)",
             "value": 0.0,
             "unit": "Mray/s",
             "vs_baseline": 0.0,
-            "error": (
-                f"backend init timed out after {_BACKEND_INIT_TIMEOUT_S:.0f}s"
-                " (remote tunnel down?) — no measurement taken"
-            ),
+            "error": f"{init_err} — no measurement taken",
         }))
         return 1
 

@@ -39,7 +39,8 @@ def _stream_result():
 
 @pytest.fixture
 def stubbed(monkeypatch):
-    monkeypatch.setattr(bench, "_init_backend", lambda: "TestDevice(0)")
+    monkeypatch.setattr(bench, "_init_backend",
+                        lambda: ("TestDevice(0)", None))
     monkeypatch.setattr(bench, "bench_rays", _rays_result)
     monkeypatch.setattr(bench, "bench_streaming", _stream_result)
     for name in ("bench_textured", "bench_many_object", "bench_physics",
@@ -67,7 +68,10 @@ class TestMainContract:
         assert out["fps_240x64_batched"] == 400.0
 
     def test_dead_backend_emits_error_json(self, stubbed, monkeypatch):
-        monkeypatch.setattr(bench, "_init_backend", lambda: None)
+        monkeypatch.setattr(
+            bench, "_init_backend",
+            lambda: (None, "backend init timed out after 900s"),
+        )
         rc, out = _run_main()
         assert rc == 1
         assert out["value"] == 0.0 and out["vs_baseline"] == 0.0
@@ -128,3 +132,22 @@ class TestEstimators:
         )
         assert pers == [pytest.approx(0.1)]
         assert sec == pytest.approx(0.1)
+
+
+    def test_throughput_raises_when_no_positive_slope(self, monkeypatch):
+        # a fake 1e-9 slope would post a ~1e15 Mray/s headline; with no
+        # information the tier must FAIL into run_tier's error isolation
+        monkeypatch.setattr(bench.time, "perf_counter",
+                            lambda: next(iter_times))
+        monkeypatch.setattr(
+            bench, "_run_batch", lambda fn, scene, batch: [(None, 1)]
+        )
+        iter_times = iter([0.0, 1.0, 1.0, 1.5] * 10)
+
+        class Series:
+            def take(self, n):
+                return list(range(n))
+
+        with pytest.raises(RuntimeError, match="no positive slope"):
+            bench._throughput(None, None, Series(), n_small=1, n_big=3,
+                              repeats=1)

@@ -24,11 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ttrt.config import RenderConfig
+from ttrt.config import ConfigError, RenderConfig
 from ttrt import assets
 from ttrt.frames import orbit_camera_frame
 from ttrt.render.integrator import render_frame
 from ttrt.scene import Scene, demo_scene
+from ttrt.scenefile import SceneFileError
 from ttrt.term.display import KeyboardInput, SigintFlag, TerminalDisplay
 from ttrt.term.encoder import encode_ansi_frame
 from ttrt.utils.logging import log
@@ -95,13 +96,17 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
         and cfg.bounce_limit <= 16
         and jax.default_backend() != "cpu"
     )
-    if base_ok and type(scene) is Scene:
+    sky_dim_ok = (
+        scene.skybox.procedural is not None
+        or 6 * scene.skybox.dim * scene.skybox.dim <= (2**31 - 1) >> 10
+    )  # the kernels' counter-stream texel-index bound (dim <= 591)
+    if base_ok and sky_dim_ok and type(scene) is Scene:
         # the demo kernel serves the specular extension in-kernel
         from ttrt.kernels.render_pallas import render_frame_pallas
 
         return render_frame_pallas
-    if base_ok and not cfg.specular and isinstance(scene, MeshScene) and (
-        scene.clusters is not None
+    if base_ok and not cfg.specular and sky_dim_ok and (
+        isinstance(scene, MeshScene) and scene.clusters is not None
     ):
         # many-object tier: the monolithic fused kernel (one pallas_call
         # per frame) — without it the XLA integrator relaunches the
@@ -111,7 +116,7 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
 
         return render_frame_mesh_fused
     if renderer == "pallas":
-        raise ValueError("pallas renderer unavailable for this config")
+        raise ConfigError("pallas renderer unavailable for this config")
     return render_frame
 
 
@@ -731,10 +736,12 @@ def main(argv=None) -> int:
     try:
         with StartupWatchdog():
             return _dispatch(args, cfg)
-    except (assets.AssetError, ValueError) as e:
-        # config refusals (renderer/extension constraints) and asset
-        # errors are user errors: one line, no traceback (the reference
-        # exits with a printf the same way, TerminalRayTracer.c:320)
+    except (assets.AssetError, ConfigError, SceneFileError) as e:
+        # config refusals (renderer/extension constraints), scene-file
+        # and asset errors are user errors: one line, no traceback (the
+        # reference exits with a printf the same way,
+        # TerminalRayTracer.c:320). Scoped to these classes so internal
+        # ValueErrors (e.g. jnp shape bugs) still traceback
         print(f"ttrt: error: {e}", file=sys.stderr)
         return 1
 

@@ -82,3 +82,13 @@ class RenderConfig:
 
     def with_(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)
+
+
+class ConfigError(ValueError):
+    """A user-configuration refusal (renderer/extension constraints).
+
+    Subclasses ValueError so library callers and tests that catch
+    ValueError keep working; the CLI catches THIS (plus AssetError and
+    SceneFileError) to print a clean one-line error — internal
+    ValueErrors from jnp/shape bugs still traceback, preserving their
+    diagnostics (advisor finding, 2026-08-18)."""

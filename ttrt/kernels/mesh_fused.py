@@ -62,7 +62,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ttrt.config import RenderConfig, constants
+from ttrt.config import ConfigError, RenderConfig, constants
 from ttrt.kernels.render_pallas import (LANES, _normalize3,
                                         _sky_color_procedural,
                                         _sky_color_procedural_bilinear,
@@ -1133,12 +1133,12 @@ def render_band_mesh_fused(
     framebuffer Vec3 + trace count; ``reduce='sum'`` leaves the
     per-pixel sample SUM for a cross-chip psum."""
     if cfg.dtype != jnp.float32:
-        raise ValueError("fused mesh path is float32-only")
+        raise ConfigError("fused mesh path is float32-only")
     if cfg.skybox_bilinear and scene.skybox.procedural is None:
         # same design decision as render_frame_pallas: 4-tap filtering of
         # an image cubemap would quadruple the deferred-gather bound;
         # procedural skies serve bilinear in-kernel
-        raise ValueError(
+        raise ConfigError(
             "fused mesh path filters image cubemaps nearest-neighbor; "
             "use the XLA path for bilinear image skyboxes"
         )
@@ -1146,19 +1146,19 @@ def render_band_mesh_fused(
         # diffuse-only shading in-kernel (the many-object tier's material
         # model); the XLA mesh path serves the specular extension —
         # refuse rather than silently ignore the flag
-        raise ValueError(
+        raise ConfigError(
             "fused mesh path is diffuse-only; use the XLA path for the "
             "specular extension"
         )
     if cfg.bounce_limit > 16:
-        raise ValueError("fused mesh path supports bounce_limit <= 16")
+        raise ConfigError("fused mesh path supports bounce_limit <= 16")
     if scene.clusters is None:
-        raise ValueError("scene has no cluster pack (clusters=None)")
+        raise ConfigError("scene has no cluster pack (clusters=None)")
     if (
         scene.skybox.procedural is None
         and 6 * scene.skybox.dim * scene.skybox.dim > (2**31 - 1) >> 10
     ):
-        raise ValueError(
+        raise ConfigError(
             "fused mesh textured path supports cubemap dim <= 591"
         )
     W, N = cfg.width, cfg.rays_per_pixel

@@ -54,7 +54,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ttrt.config import RenderConfig, constants
+from ttrt.config import ConfigError, RenderConfig, constants
 from ttrt.kernels.render_pallas import (LANES, TILE_R, _normalize3,
                                         _read_tuples, _shadow_any_hit,
                                         _shadow_oc_terms,
@@ -343,20 +343,21 @@ def pathtrace_frame_pallas(
     ``reduce='sum'`` returns unclipped per-pixel sums (the sharded
     combine contract, as pathtrace_frame)."""
     if cfg.dtype != jnp.float32:
-        raise ValueError("pallas pathtrace is float32-only")
+        raise ConfigError("pallas pathtrace is float32-only")
     if scene.skybox.procedural is None:
-        raise ValueError(
+        raise ConfigError(
             "pallas pathtrace supports procedural skyboxes only; the "
             "textured tier is served by ttrt.render.pathtrace (see module "
             "docstring)"
         )
     if cfg.bounce_limit > 10:
-        raise ValueError("pallas pathtrace supports bounce_limit <= 10")
-    if lights.count > 9:
-        # the NEE purpose stream (10 + 3*li, +1) would collide with the
-        # cosine-draw stream (purpose 40) at li=10, silently correlating
+        raise ConfigError("pallas pathtrace supports bounce_limit <= 10")
+    if lights.count > 10:
+        # the NEE purpose stream (10 + 3*li, +1) collides with the
+        # cosine-draw stream (purpose 40) at li=10, i.e. an 11th light
+        # (count=10 tops out at purposes 37/38), silently correlating
         # samples; widen the purpose map before lifting this
-        raise ValueError("pallas pathtrace supports <= 9 area lights")
+        raise ConfigError("pallas pathtrace supports <= 10 area lights")
     H, W, N = cfg.height, cfg.width, cfg.rays_per_pixel
     packed = pack_scene(scene, jnp.float32)
     al = pack_area_lights(lights, jnp.float32)

@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ttrt.config import RenderConfig, constants
+from ttrt.config import ConfigError, RenderConfig, constants
 from ttrt.render.skybox import (CUBEMAP_AXES, U_AXIS, V_AXIS,
                                fetch_packed_texels)
 from ttrt.scene import Scene
@@ -996,7 +996,7 @@ def _render_rays_pallas(
     if ghost is not None and ghost != "colors":
         # the epilogue cancellation recomputes the decoy from the texel
         # index's FACE alone, which only the 'colors' pattern allows
-        raise ValueError(f"ghost decoy sky must be 'colors', got {ghost!r}")
+        raise ConfigError(f"ghost decoy sky must be 'colors', got {ghost!r}")
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def count_to_rays(stats):
@@ -1216,7 +1216,7 @@ def render_frame_pallas(
     extension (cfg.specular) is served in-kernel, mirroring
     ttrt.render.lighting's math."""
     if cfg.dtype != jnp.float32:
-        raise ValueError("pallas path is float32-only")
+        raise ConfigError("pallas path is float32-only")
     if cfg.skybox_bilinear and scene.skybox.procedural is None:
         # DESIGN DECISION (VERDICT r2 item 8): bilinear filtering of
         # IMAGE cubemaps stays on the XLA path. The pallas textured-sky
@@ -1231,7 +1231,7 @@ def render_frame_pallas(
         # bilinear in-kernel (_sky_color_procedural_bilinear): the 4
         # taps are gather-free pattern replays, so the argument above
         # does not apply. See README "TPU-first design decisions".
-        raise ValueError(
+        raise ConfigError(
             "pallas path filters image cubemaps nearest-neighbor; the "
             "bilinear extension on image skyboxes is served by the XLA "
             "path (--renderer xla). Procedural skies support bilinear "
@@ -1240,7 +1240,7 @@ def render_frame_pallas(
     if cfg.bounce_limit > 16:
         # the bounce chain is fully unrolled; keep compile time/program
         # size bounded (the XLA path serves deeper recursions)
-        raise ValueError("pallas path supports bounce_limit <= 16")
+        raise ConfigError("pallas path supports bounce_limit <= 16")
     if (
         scene.skybox.procedural is None
         and 6 * scene.skybox.dim * scene.skybox.dim > (2**31 - 1) >> 10
@@ -1248,7 +1248,7 @@ def render_frame_pallas(
         # the deferred sky texel index rides bits 10..30 of the int32
         # counter stream; 6*dim^2 << 10 must not overflow into the sign
         # bit (dim >= 592 would yield negative indices after >> 10)
-        raise ValueError(
+        raise ConfigError(
             "pallas textured path supports cubemap dim <= 591 "
             f"(got {scene.skybox.dim}); use the XLA path for larger skyboxes"
         )
@@ -1298,7 +1298,7 @@ def render_band_pallas(
     sharded caller psums slices across chips before dividing by the
     global sample count)."""
     if cfg.dtype != jnp.float32:
-        raise ValueError("pallas path is float32-only")
+        raise ConfigError("pallas path is float32-only")
     W, N = cfg.width, cfg.rays_per_pixel
     if n_samples is None:
         n_samples = N
