@@ -71,6 +71,7 @@ class TestPacking:
             assert (cz[sl][m] + r[sl][m] <= hi[k, 2] + 1e-4).all()
 
 
+@pytest.mark.slow
 class TestNearestParity:
     def test_matches_brute_and_broad_phase_conservative(self):
         """ONE kernel compile (interpret mode is ~2 min of XLA:CPU compile
@@ -158,6 +159,7 @@ class TestNearestParity:
         assert float(np.median(diff)) < 1e-5
 
 
+@pytest.mark.slow
 class TestCullDenseEquivalence:
     def test_cull_equals_dense_mode(self):
         """mode='cull' (in-kernel AABB skip) must return EXACTLY what

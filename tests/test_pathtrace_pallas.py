@@ -10,6 +10,7 @@ Small shapes — the interpret compile dominates on the 1-vCPU box.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from ttrt.assets import make_colors_skybox, skybox_from_faces
 from ttrt.config import RenderConfig
@@ -18,6 +19,8 @@ from ttrt.kernels.pathtrace_pallas import (_mix32, _u01,
                                            pathtrace_frame_pallas)
 from ttrt.render.pathtrace import AreaLights, pathtrace_frame
 from ttrt.scene import demo_scene
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(spp):

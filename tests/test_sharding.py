@@ -112,6 +112,7 @@ class TestShardedMeshScene:
         assert int(rays_s) == int(rays)
 
 
+@pytest.mark.slow
 class TestShardedPallas:
     """The Pallas kernel path under shard_map (interpret mode on the CPU
     test mesh): per-device row bands must reassemble into the full frame."""
@@ -218,6 +219,7 @@ class TestShardedPathtrace:
             )
 
 
+@pytest.mark.slow
 class TestShardedMeshFused:
     """The monolithic fused mesh kernel under shard_map (interpret mode,
     tile_rows=8): each device renders its (row band x sample slice) in

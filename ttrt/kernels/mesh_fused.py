@@ -97,8 +97,12 @@ def order_subclusters(pack: ClusterPack, origin: jnp.ndarray) -> jnp.ndarray:
     distance from ``origin`` to the AABB center. Invalid (fully-padded)
     subclusters sort last; their NaN AABBs fail every slab test, so they
     cost one test each and are never entered. Ordering is a pure
-    OPTIMIZATION: any permutation yields identical output (asserted by
-    tests); near-to-far merely makes the best-t prune converge fast."""
+    OPTIMIZATION — any permutation yields identical output (asserted by
+    tests) absent EXACT float-t ties between objects in different
+    subclusters: the kernel's strict t0 < best tiebreak resolves such a
+    tie to the first-visited (distance-ordered) object, the XLA oracle
+    to the lower object id. Near-to-far merely makes the best-t prune
+    converge fast."""
     lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)
     hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
     valid = jnp.concatenate([pack.sph_valid, pack.tri_valid]) != 0
@@ -176,6 +180,10 @@ def _fused_kernel(
     NX, NY, NZ = (next(_c) for _ in range(3))  # hit normal (unit)
     MCR, MCG, MCB = (next(_c) for _ in range(3))  # hit material color
     HW = next(_c)  # hit weight for the pending lighting
+    specular = cfg.specular
+    if specular:  # Blinn-Phong extension (TerminalRayTracer.c:913-916)
+        MSPEC = next(_c)  # winner material specularity
+        VX, VY, VZ = (next(_c) for _ in range(3))  # view = -incoming d
     APR, APG, APB = (next(_c) for _ in range(3))  # accumulators
     ATOT, ASKYW, ACON = (next(_c) for _ in range(3))
     BTF = next(_c)  # folded best-t (pruning)
@@ -198,8 +206,13 @@ def _fused_kernel(
 
     # ----- partial slot map (rows of q_ref, each (R8, 128)) -----
     QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF = range(9)
-    QSH = [9 + j for j in range(n_lights)]
-    NQ = 9 + n_lights
+    QNEAREST = (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)
+    if specular:
+        QSPEC = 9
+        QNEAREST = QNEAREST + (QSPEC,)
+    nq_base = len(QNEAREST)
+    QSH = [nq_base + j for j in range(n_lights)]
+    NQ = nq_base + n_lights
 
     def qrow(qi, r):  # (8, 128) class-partial row r
         return q_ref[qi * R8 + r * 8: qi * R8 + (r + 1) * 8, :]
@@ -218,7 +231,7 @@ def _fused_kernel(
         q_ref[QT * R8:(QT + 1) * R8, :] = jnp.full(
             (R8, LANES), _F32_MAX, jnp.float32
         )
-        for qi in (QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF, *QSH):
+        for qi in (*QNEAREST[1:], *QSH):
             q_ref[qi * R8:(qi + 1) * R8, :] = jnp.zeros(
                 (R8, LANES), jnp.float32
             )
@@ -314,7 +327,8 @@ def _fused_kernel(
         store_ray_precompute()
         zero = jnp.zeros((TR, LANES), jnp.float32)
         for k2 in (APR, APG, APB, ATOT, ASKYW, HW, NX, NY, NZ, MCR, MCG,
-                   MCB, HX, HY, HZ, SOO, *SDL_OD):
+                   MCB, HX, HY, HZ, SOO, *SDL_OD,
+                   *((MSPEC, VX, VY, VZ) if specular else ())):
             sset(k2, zero)
         for d in PL_BASE:
             for k2 in d.values():
@@ -330,6 +344,10 @@ def _fused_kernel(
         nx, ny, nz = sget(NX), sget(NY), sget(NZ)
         mcr, mcg, mcb = sget(MCR), sget(MCG), sget(MCB)
         hw = sget(HW)
+        clamp01 = lambda v: jnp.minimum(jnp.maximum(v, 0.0), 1.0)
+        if specular:
+            vx, vy, vz = sget(VX), sget(VY), sget(VZ)
+            mspec = sget(MSPEC)
         litr = jnp.zeros((TR, LANES), jnp.float32)
         litg = jnp.zeros((TR, LANES), jnp.float32)
         litb = jnp.zeros((TR, LANES), jnp.float32)
@@ -338,9 +356,22 @@ def _fused_kernel(
             lcr, lcg, lcb = (dl_ref[li * 6 + 3 + c] for c in range(3))
             blocked = sget(SFOLD[li]) > 0.0
             ndotl = jnp.minimum(nx * lx + ny * ly + nz * lz, 1.0)  # c:911
-            litr = litr + jnp.where(blocked, 0.0, lcr * ndotl * mcr)
-            litg = litg + jnp.where(blocked, 0.0, lcg * ndotl * mcg)
-            litb = litb + jnp.where(blocked, 0.0, lcb * ndotl * mcb)
+            cr = lcr * ndotl * mcr
+            cg = lcg * ndotl * mcg
+            cb = lcb * ndotl * mcb
+            if specular:
+                # reference's commented-out Blinn-Phong (c:913-916),
+                # op-for-op with render_pallas._apply_lighting
+                hvx, hvy, hvz = _normalize3(lx + vx, ly + vy, lz + vz)
+                s = jnp.power(
+                    clamp01(nx * hvx + ny * hvy + nz * hvz), mspec
+                )
+                cr = cr + lcr * s
+                cg = cg + lcg * s
+                cb = cb + lcb * s
+            litr = litr + jnp.where(blocked, 0.0, cr)
+            litg = litg + jnp.where(blocked, 0.0, cg)
+            litb = litb + jnp.where(blocked, 0.0, cb)
         for lj in range(n_pl):
             d = PL_BASE[lj]
             lcr, lcg, lcb = (pl_ref[lj * 7 + 3 + c] for c in range(3))
@@ -353,10 +384,23 @@ def _fused_kernel(
             blocked = sget(SFOLD[n_dl + lj]) > 0.0
             ndotl = jnp.minimum(nx * pdx + ny * pdy + nz * pdz, 1.0)
             scale = inten * ndotl
-            litr = litr + jnp.where(blocked, 0.0, lcr * scale * mcr)
-            litg = litg + jnp.where(blocked, 0.0, lcg * scale * mcg)
-            litb = litb + jnp.where(blocked, 0.0, lcb * scale * mcb)
-        clamp01 = lambda v: jnp.minimum(jnp.maximum(v, 0.0), 1.0)  # c:960
+            cr = lcr * scale * mcr
+            cg = lcg * scale * mcg
+            cb = lcb * scale * mcb
+            if specular:
+                hvx, hvy, hvz = _normalize3(
+                    pdx + vx, pdy + vy, pdz + vz
+                )
+                s = inten * jnp.power(
+                    clamp01(nx * hvx + ny * hvy + nz * hvz), mspec
+                )
+                cr = cr + lcr * s
+                cg = cg + lcg * s
+                cb = cb + lcb * s
+            litr = litr + jnp.where(blocked, 0.0, cr)
+            litg = litg + jnp.where(blocked, 0.0, cg)
+            litb = litb + jnp.where(blocked, 0.0, cb)
+        # final clamp c:960
         sset(APR, sget(APR) + hw * clamp01(litr))
         sset(APG, sget(APG) + hw * clamp01(litg))
         sset(APB, sget(APB) + hw * clamp01(litb))
@@ -367,8 +411,11 @@ def _fused_kernel(
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (TR, LANES), 0)
         outs = [
             jnp.full((TR, LANES), _F32_MAX, jnp.float32)
-        ] + [jnp.zeros((TR, LANES), jnp.float32) for _ in range(8)]
-        qis = (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)
+        ] + [
+            jnp.zeros((TR, LANES), jnp.float32)
+            for _ in range(len(QNEAREST) - 1)
+        ]
+        qis = QNEAREST
         for r in range(TR):
             vals = [qrow(qi, r) for qi in qis]
             for h in (4, 2, 1):
@@ -388,7 +435,8 @@ def _fused_kernel(
         accounting, reflected continuation ray, shadow-ray setup
         (trace_ray fixups c:858-886 + project_scene bookkeeping
         c:1012-1057, identical op order to the jnp oracle)."""
-        bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = fold_nearest()
+        folded = fold_nearest()
+        bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = folded[:9]
         ox, oy, oz = sget(OX), sget(OY), sget(OZ)
         dx, dy, dz = sget(DX), sget(DY), sget(DZ)
         acon = sget(ACON)
@@ -426,6 +474,14 @@ def _fused_kernel(
         sset(MCR, bcr)
         sset(MCG, bcg)
         sset(MCB, bcb)
+        if specular:
+            sset(MSPEC, folded[9])
+            # view vector for the pending Blinn-Phong: -incoming d
+            # (integrator.py body: view = -s.d), saved BEFORE the
+            # reflection overwrites the direction state
+            sset(VX, -dx)
+            sset(VY, -dy)
+            sset(VZ, -dz)
         # reflected continuation ray, frozen on dead/miss lanes
         dn = 2.0 * (dx * nx + dy * ny + dz * nz)
         rdx, rdy, rdz = _normalize3(
@@ -505,25 +561,27 @@ def _fused_kernel(
         CATASTROPHIC on-chip (16.4 -> 39.3 ms/frame at the 10k tier —
         each scalar branch costs ~300 cycles, and 16 of them per body
         swamp the culled work). Culling lives at tile granularity."""
-        pages = [sph_ref[c, sub_s] for c in (0, 1, 2, 3, 5, 6, 7, 8)]
+        mat_rows = (0, 1, 2, 3, 5, 6, 7, 8, 9) if specular else (
+            0, 1, 2, 3, 5, 6, 7, 8)
+        pages = [sph_ref[c, sub_s] for c in mat_rows]
         for r in range(TR):
             if True:  # (kept indentation; no per-row gate — see docstring)
                 ox, oy, oz = srow(OX, r), srow(OY, r), srow(OZ, r)
                 dx, dy, dz = srow(DX, r), srow(DY, r), srow(DZ, r)
                 pod, poo = srow(POD, r), srow(POO, r)
                 pfa, pi2 = srow(PFA, r), srow(PI2, r)
-                vals = [qrow(qi, r) for qi in
-                        (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)]
-                bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = vals
+                vals = [qrow(qi, r) for qi in QNEAREST]
+                bt = vals[0]
                 for g in grange:
                     cx = _b128(_col(pages[0], g))
                     cy = _b128(_col(pages[1], g))
                     cz = _b128(_col(pages[2], g))
                     ccr2 = _b128(_col(pages[3], g))
-                    scr = _b128(_col(pages[4], g))
-                    scg = _b128(_col(pages[5], g))
-                    scb = _b128(_col(pages[6], g))
-                    srf = _b128(_col(pages[7], g))
+                    # winner attrs aligned with QNEAREST[1:]: is_tri=0,
+                    # n1..3 = center, then the material pages
+                    attrs = [0.0, cx, cy, cz] + [
+                        _b128(_col(p, g)) for p in pages[4:]
+                    ]
                     cd = cx * dx + cy * dy + cz * dz
                     co = cx * ox + cy * oy + cz * oz
                     b = 2.0 * (pod - cd)
@@ -533,18 +591,11 @@ def _fused_kernel(
                     t0 = (-b - jnp.sqrt(jnp.maximum(disc, 0.0))) * pi2
                     take = hit & (t0 < bt)
                     bt = jnp.where(take, t0, bt)
-                    bfl = jnp.where(take, 0.0, bfl)
-                    bn1 = jnp.where(take, cx, bn1)
-                    bn2 = jnp.where(take, cy, bn2)
-                    bn3 = jnp.where(take, cz, bn3)
-                    bcr = jnp.where(take, scr, bcr)
-                    bcg = jnp.where(take, scg, bcg)
-                    bcb = jnp.where(take, scb, bcb)
-                    brf = jnp.where(take, srf, brf)
-                for qi, v in zip(
-                    (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF),
-                    (bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf),
-                ):
+                    vals = [bt] + [
+                        jnp.where(take, a, v)
+                        for a, v in zip(attrs, vals[1:])
+                    ]
+                for qi, v in zip(QNEAREST, vals):
                     qrow_set(qi, r, v)
                 # per-row best-t fold update (prune key)
                 v = bt
@@ -555,22 +606,24 @@ def _fused_kernel(
                 ))
 
     def tri_nearest(sub_t, grange):
-        comps = [tri_ref[c, sub_t] for c in
-                 (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16)]
+        rows = (0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 14, 15, 16)
+        if specular:
+            rows = rows + (17,)
+        comps = [tri_ref[c, sub_t] for c in rows]
         for r in range(TR):
             _tri_nearest_row(comps, r, grange)
 
     def _tri_nearest_row(comps, r, grange):
             ox, oy, oz = srow(OX, r), srow(OY, r), srow(OZ, r)
             dx, dy, dz = srow(DX, r), srow(DY, r), srow(DZ, r)
-            vals = [qrow(qi, r) for qi in
-                    (QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF)]
-            bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf = vals
+            vals = [qrow(qi, r) for qi in QNEAREST]
+            bt = vals[0]
             for g in grange:
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-                 tnx, tny, tnz, tcr, tcg, tcb, trf) = (
-                    _b128(_col(c, g)) for c in comps
-                )
+                cols = [_b128(_col(c, g)) for c in comps]
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = cols[:9]
+                # winner attrs aligned with QNEAREST[1:]: is_tri=1,
+                # normal xyz, then material cr cg cb refl (spec)
+                attrs = [1.0] + cols[9:]
                 # Moller-Trumbore with the reference's plane epsilons
                 # (c:680,685), as ttrt.mesh.triangles.ray_triangle
                 px_ = dy * e2z - dz * e2y
@@ -594,16 +647,11 @@ def _fused_kernel(
                 )
                 take = hit & (tt < bt)
                 bt = jnp.where(take, tt, bt)
-                bfl = jnp.where(take, 1.0, bfl)
-                bn1 = jnp.where(take, tnx, bn1)
-                bn2 = jnp.where(take, tny, bn2)
-                bn3 = jnp.where(take, tnz, bn3)
-                bcr = jnp.where(take, tcr, bcr)
-                bcg = jnp.where(take, tcg, bcg)
-                bcb = jnp.where(take, tcb, bcb)
-                brf = jnp.where(take, trf, brf)
-            for qi, v in zip((QT, QFL, QN1, QN2, QN3, QCR, QCG, QCB, QRF),
-                             (bt, bfl, bn1, bn2, bn3, bcr, bcg, bcb, brf)):
+                vals = [bt] + [
+                    jnp.where(take, a, v)
+                    for a, v in zip(attrs, vals[1:])
+                ]
+            for qi, v in zip(QNEAREST, vals):
                 qrow_set(qi, r, v)
             v = bt
             for h in (4, 2, 1):
@@ -1057,8 +1105,9 @@ def _render_rays_fused(
     # state slot count: must equal the kernel's slot map (kernel asserts)
     # 17 base + n_dl (SDL_OD) + 9*n_pl (PL_BASE) + 7 (hit attrs + hw)
     # + 6 (accumulators) + 1 (BTF) + n_lights (SFOLD)
-    ns = 31 + 2 * n_dl + 10 * n_pl
-    nq = 9 + n_lights
+    # + 4 when specular (MSPEC + view xyz)
+    ns = 31 + 2 * n_dl + 10 * n_pl + (4 if cfg.specular else 0)
+    nq = 9 + n_lights + (1 if cfg.specular else 0)
     outs = pl.pallas_call(
         kernel,
         grid=(n_tiles, B + 1),
@@ -1141,14 +1190,6 @@ def render_band_mesh_fused(
         raise ConfigError(
             "fused mesh path filters image cubemaps nearest-neighbor; "
             "use the XLA path for bilinear image skyboxes"
-        )
-    if cfg.specular:
-        # diffuse-only shading in-kernel (the many-object tier's material
-        # model); the XLA mesh path serves the specular extension —
-        # refuse rather than silently ignore the flag
-        raise ConfigError(
-            "fused mesh path is diffuse-only; use the XLA path for the "
-            "specular extension"
         )
     if cfg.bounce_limit > 16:
         raise ConfigError("fused mesh path supports bounce_limit <= 16")

@@ -56,12 +56,13 @@ _PAD_CCR2 = 1.0e30
 class ClusterPack(NamedTuple):
     """Device-resident packed geometry (all float32).
 
-    ``sph``: (9, KB, 8, 16) where [c, k, s, g] is component c of sphere
+    ``sph``: (10, KB, 8, 16) where [c, k, s, g] is component c of sphere
     ``k*128 + g*8 + s`` in Morton order — component rows are cx cy cz
-    ccr2 id cr cg cb refl with ccr2 = |C|^2 - r^2 precomputed (the
+    ccr2 id cr cg cb refl spec with ccr2 = |C|^2 - r^2 precomputed (the
     narrow kernel's quadratic ``c`` term needs only ccr2, not the
     radius) and id the ORIGINAL sphere index as f32 (-1 on padding).
-    Rows 5..8 are the MATERIAL (color rgb + reflectivity), consumed by
+    Rows 5..9 are the MATERIAL (color rgb + reflectivity +
+    Blinn-Phong specularity, TerminalRayTracer.c:913-916), consumed by
     the fused whole-frame kernel (ttrt.kernels.mesh_fused) which shades
     in-kernel and so never gathers by id; the nearest-hit kernel
     (ttrt.kernels.mesh_pallas) reads only rows 0..4. The trailing
@@ -71,8 +72,8 @@ class ClusterPack(NamedTuple):
     while the subcluster axis k is a BlockSpec grid index (Mosaic wants
     block minor dims equal to the array's, so the 16-group page IS the
     minor dim).
-    ``tri``: (17, KB, 8, 16) rows v0xyz e1xyz e2xyz id nx ny nz cr cg
-    cb refl, same layout (rows 10..16 again fused-kernel-only).
+    ``tri``: (18, KB, 8, 16) rows v0xyz e1xyz e2xyz id nx ny nz cr cg
+    cb refl spec, same layout (rows 10..17 again fused-kernel-only).
     ``sph_lo/hi``: (KB_s, 3) radius-inflated cluster AABBs.
     ``tri_lo/hi``: (KB_t, 3) cluster AABBs over all three vertices.
     ``sph_lo_q/hi_q``: (KB_s, 4, 3) per-QUARTER AABBs (32 consecutive
@@ -136,7 +137,7 @@ def pack_clusters(
     spheres: Optional[Spheres],
     triangles: Optional[Triangles],
     *,
-    np_spheres=None,  # (centers (n,3), radii (n,)[, colors (n,3), refl (n,)])
+    np_spheres=None,  # (centers, radii[, colors, refl, spec]) host arrays
     np_tris=None,  # Triangles.create_np dict
 ) -> ClusterPack:
     """Host-side pack: Morton-sort, chunk into 128-wide clusters, compute
@@ -165,6 +166,10 @@ def pack_clusters(
             r = np.asarray(np_spheres[1], f32)
             col3 = np.asarray(np_spheres[2], f32)
             refl = np.asarray(np_spheres[3], f32)
+            spec = (
+                np.asarray(np_spheres[4], f32) if len(np_spheres) >= 5
+                else np.asarray(spheres.material.specularity, f32)
+            )
         else:
             if np_spheres is not None:
                 c = np.asarray(np_spheres[0], f32)
@@ -180,9 +185,10 @@ def pack_clusters(
                 [np.asarray(v, np.float64) for v in mat.color], axis=-1
             ).astype(f32)
             refl = np.asarray(mat.reflectivity, f32)
+            spec = np.asarray(mat.specularity, f32)
         order = _morton_order(c)
         c, r = c[order], r[order]
-        col3, refl = col3[order], refl[order]
+        col3, refl, spec = col3[order], refl[order], spec[order]
         ccr2 = (c[:, 0] ** 2 + c[:, 1] ** 2 + c[:, 2] ** 2 - r * r).astype(
             f32
         )
@@ -195,6 +201,7 @@ def pack_clusters(
             _pad_cols(ids, -1.0),
             _pad_cols(col3[:, 0], 0.0), _pad_cols(col3[:, 1], 0.0),
             _pad_cols(col3[:, 2], 0.0), _pad_cols(refl, 0.0),
+            _pad_cols(spec, 0.0),
         ]
         sph = table(cols)
         kb = cols[0].shape[0] // BLOCK
@@ -224,7 +231,7 @@ def pack_clusters(
         sph_valid = jnp.asarray(valid)
         sph_lo_q, sph_hi_q = jnp.asarray(lo_q), jnp.asarray(hi_q)
     else:
-        sph = jnp.zeros((9, 0, 8, GROUPS), jnp.float32)
+        sph = jnp.zeros((10, 0, 8, GROUPS), jnp.float32)
         sph_lo = jnp.zeros((0, 3), jnp.float32)
         sph_hi = jnp.zeros((0, 3), jnp.float32)
         sph_valid = jnp.zeros((0,), jnp.int32)
@@ -240,6 +247,11 @@ def pack_clusters(
             nrm = np.asarray(np_tris["normal"], f32)
             tcol = np.asarray(np_tris["color"], f32)
             trefl = np.asarray(np_tris["reflectivity"], f32)
+            tspec = (
+                np.asarray(np_tris["specularity"], f32)
+                if "specularity" in np_tris
+                else np.asarray(triangles.material.specularity, f32)
+            )
         else:
             v0 = np.stack(
                 [np.asarray(v, np.float64) for v in triangles.v0], -1
@@ -258,10 +270,12 @@ def pack_clusters(
                  for v in triangles.material.color], -1
             ).astype(f32)
             trefl = np.asarray(triangles.material.reflectivity, f32)
+            tspec = np.asarray(triangles.material.specularity, f32)
         centroid = v0 + (e1 + e2) / 3.0
         order = _morton_order(centroid)
         v0, e1, e2 = v0[order], e1[order], e2[order]
         nrm, tcol, trefl = nrm[order], tcol[order], trefl[order]
+        tspec = tspec[order]
         # GridHit id convention: triangles follow spheres in one id space
         ids = (order + n_spheres).astype(f32)
         cols = [
@@ -274,7 +288,7 @@ def pack_clusters(
             _pad_cols(nrm[:, i], 0.0) for i in range(3)
         ] + [
             _pad_cols(tcol[:, i], 0.0) for i in range(3)
-        ] + [_pad_cols(trefl, 0.0)]
+        ] + [_pad_cols(trefl, 0.0), _pad_cols(tspec, 0.0)]
         tri = table(cols)
         kb = cols[0].shape[0] // BLOCK
         pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # (m, 3 verts, 3)
@@ -300,7 +314,7 @@ def pack_clusters(
         tri_valid = jnp.asarray(valid)
         tri_lo_q, tri_hi_q = jnp.asarray(lo_q), jnp.asarray(hi_q)
     else:
-        tri = jnp.zeros((17, 0, 8, GROUPS), jnp.float32)
+        tri = jnp.zeros((18, 0, 8, GROUPS), jnp.float32)
         tri_lo = jnp.zeros((0, 3), jnp.float32)
         tri_hi = jnp.zeros((0, 3), jnp.float32)
         tri_valid = jnp.zeros((0,), jnp.int32)

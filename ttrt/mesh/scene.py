@@ -254,6 +254,7 @@ def many_sphere_scene(
     radii = rng.uniform(0.05, 0.25, n_spheres).astype(f32)
     colors = rng.uniform(0.1, 1.0, (n_spheres, 3)).astype(f32)
     refl = rng.uniform(0.0, 0.9, n_spheres).astype(f32)
+    spec = np.full(n_spheres, 100.0, f32)
     # slice in NumPy, transfer each leaf once (no eager device slicing)
     spheres = Spheres(
         center=Vec3(*(jnp.asarray(centers[:, i], dtype) for i in range(3))),
@@ -263,9 +264,7 @@ def many_sphere_scene(
                 *(jnp.asarray(colors[:, i], dtype) for i in range(3))
             ),
             reflectivity=jnp.asarray(refl, dtype),
-            specularity=jnp.asarray(
-                np.full(n_spheres, 100.0, f32), dtype
-            ),
+            specularity=jnp.asarray(spec, dtype),
         ),
     )
     tris_np = floor_mesh_np(y=-2.0, half_extent=20.0, cells=floor_cells)
@@ -289,9 +288,11 @@ def many_sphere_scene(
         spheres=spheres,
         triangles=tris,
         grid=grid,
-        clusters=pack_clusters(spheres, tris,
-                               np_spheres=(centers, radii, colors, refl),
-                               np_tris=tris_np),
+        clusters=pack_clusters(
+            spheres, tris,
+            np_spheres=(centers, radii, colors, refl, spec),
+            np_tris=tris_np,
+        ),
         directional_lights=directional,
         point_lights=point,
         camera=Camera.default(width_px, height_px, dtype),
