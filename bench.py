@@ -97,14 +97,23 @@ def _run_batch(step_fn, scene, batch):
 
 
 def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
-                repeats=3):
+                repeats=3, keep_outs=False):
     """Median-of-`repeats` slope timing; every phase uses fresh times.
     Returns (median_sec_per_frame, last_outs, all_sec_per_frame) — the
     full list makes the recorded JSON decision-grade under the chip's
     ±12-20% drift (VERDICT r2: a point estimate can't tell a regression
-    from weather)."""
+    from weather).
+
+    ``keep_outs=True`` returns the PER-REPEAT big-batch outputs as the
+    second element (a list, one entry per recorded slope) so callers can
+    pair each run's rate with ITS OWN trace-count numerator — every
+    repeat times different camera positions and trace counts swing
+    3.5-5.7M/frame, so dividing one shared numerator by per-run slopes
+    left a numerator/denominator mismatch in exactly the spread data
+    (ADVICE r3)."""
     _run_batch(step_fn, scene, series.take(2))  # warm
     pers = []
+    outs_list = []
     outs = None
     attempts = 0
     while len(pers) < repeats and attempts < repeats + 3:
@@ -124,6 +133,8 @@ def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
         # a clamped sentinel that poisons the *_runs spread
         if slope > 0:
             pers.append(slope)
+            if keep_outs:
+                outs_list.append(outs)
     if not pers:
         # every attempt timed the small batch slower than the big one:
         # there is no measurement here. Raise into run_tier's isolation
@@ -133,7 +144,7 @@ def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
             f"no positive slope in {attempts} attempts (tunnel jitter "
             "swamped the batch-size delta)"
         )
-    return statistics.median(pers), outs, pers
+    return statistics.median(pers), (outs_list if keep_outs else outs), pers
 
 
 def _mean_rays(outs) -> int:
@@ -180,13 +191,16 @@ def bench_rays() -> dict:
     float(chk)
     compile_s = time.perf_counter() - t0
 
-    sec_pal, outs, pers = _throughput(step_pallas, scene, series, repeats=5)
-    rays_per_frame = _mean_rays(outs)
+    sec_pal, outs_list, pers = _throughput(step_pallas, scene, series,
+                                           repeats=5, keep_outs=True)
+    run_rays = [_mean_rays(o) for o in outs_list]
+    rays_per_frame = int(np.mean(run_rays))
     sec_xla, _, _ = _throughput(step_xla, scene, series, repeats=3)
 
     return {
         "mrays_per_s": rays_per_frame / sec_pal / 1e6,
-        "mrays_per_s_runs": [rays_per_frame / p / 1e6 for p in pers],
+        "mrays_per_s_runs": [rr / p / 1e6
+                             for rr, p in zip(run_rays, pers)],
         "mrays_per_s_xla": rays_per_frame / sec_xla / 1e6,
         "rays_per_frame": rays_per_frame,
         "frame_ms": sec_pal * 1e3,
@@ -311,11 +325,14 @@ def bench_textured() -> dict:
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
 
     series = TimeSeries(cfg.dtype, base=900.0)
-    sec, outs, pers = _throughput(step, scene, series, repeats=5)
-    rays = _mean_rays(outs)
+    sec, outs_list, pers = _throughput(step, scene, series, repeats=5,
+                                       keep_outs=True)
+    run_rays = [_mean_rays(o) for o in outs_list]
+    rays = int(np.mean(run_rays))
     return {
         "mrays_textured": rays / sec / 1e6,
-        "mrays_textured_runs": [rays / p / 1e6 for p in pers],
+        "mrays_textured_runs": [rr / p / 1e6
+                                for rr, p in zip(run_rays, pers)],
     }
 
 
@@ -367,8 +384,9 @@ def bench_many_object() -> dict:
         )
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
 
-    sec_f, outs_f, pers_f = _throughput(step_fused, scene, series,
-                                        n_small=3, n_big=9, repeats=5)
+    sec_f, outs_f_list, pers_f = _throughput(step_fused, scene, series,
+                                             n_small=3, n_big=9, repeats=5,
+                                             keep_outs=True)
 
     # secondary datum: EXTERIOR (fly-over) camera — the same scene viewed
     # from outside the cloud (orbit origin scaled to r ~ 40 over the
@@ -414,10 +432,12 @@ def bench_many_object() -> dict:
     sec_d, outs_d, _ = _throughput(
         step_dense, scene_dense, series, n_small=3, n_big=9, repeats=1
     )
-    rays_f = _mean_rays(outs_f)
+    run_rays_f = [_mean_rays(o) for o in outs_f_list]
+    rays_f = int(np.mean(run_rays_f))
     return {
         "mrays_10k_fused": rays_f / sec_f / 1e6,
-        "mrays_10k_fused_runs": [rays_f / p / 1e6 for p in pers_f],
+        "mrays_10k_fused_runs": [rr / p / 1e6
+                                 for rr, p in zip(run_rays_f, pers_f)],
         "mrays_10k_flyover": _mean_rays(outs_fl) / sec_fl / 1e6,
         "mrays_10k_cluster": _mean_rays(outs) / sec / 1e6,
         "mrays_10k_dense_corrected": _mean_rays(outs_d) / sec_d / 1e6,
@@ -647,7 +667,9 @@ def _init_backend():
 
 def main() -> int:
     from ttrt.utils.logging import log
+    from ttrt.utils.compile_cache import enable_compile_cache
 
+    enable_compile_cache(quiet=False)
     backend, init_err = _init_backend()
     if backend is None:
         print(json.dumps({
@@ -698,7 +720,15 @@ def main() -> int:
         "fps_240x64_pipelined": round(s.get("fps_pipelined", 0.0), 1),
         "fps_240x64_batched": round(s.get("fps_batched", 0.0), 1),
         "stream_batch": s.get("stream_batch", 0),
-        "median_of": 5,
+        # per-key repeat counts: only the headline tiers run 5 slopes;
+        # claiming one global median_of over-trusted the comparison
+        # points (ADVICE r3). *_runs keys carry the actual spreads.
+        "median_of": {
+            "mrays_per_s": 5, "mrays_textured": 5, "mrays_10k_fused": 5,
+            "pathtrace_msamples_per_s": 5, "mrays_per_s_xla": 3,
+            "mrays_10k_flyover": 3, "fps_240x64_*": 3,
+            "mrays_10k_cluster": 1, "mrays_10k_dense_corrected": 1,
+        },
         "device": str(backend),
     }
     for d in (r, s):

@@ -133,6 +133,30 @@ class TestEstimators:
         assert pers == [pytest.approx(0.1)]
         assert sec == pytest.approx(0.1)
 
+    def test_throughput_keep_outs_pairs_runs_with_outputs(self, monkeypatch):
+        # ADVICE r3: each recorded slope must come with ITS repeat's
+        # outputs so *_runs rates use per-run trace-count numerators
+        times = iter([0.0, 0.1, 0.0, 0.3, 0.0, 0.1, 0.0, 0.5])
+        monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
+        batches = iter([[("w", 1)], [("s1", 10)], [("b1", 20)],
+                        [("s2", 30)], [("b2", 40)]])
+        monkeypatch.setattr(
+            bench, "_run_batch", lambda fn, scene, batch: next(batches)
+        )
+
+        class Series:
+            def take(self, n):
+                return list(range(n))
+
+        sec, outs_list, pers = bench._throughput(
+            None, None, Series(), n_small=1, n_big=3, repeats=2,
+            keep_outs=True,
+        )
+        assert len(outs_list) == len(pers) == 2
+        assert outs_list[0] == [("b1", 20)]
+        assert outs_list[1] == [("b2", 40)]
+        assert bench._mean_rays(outs_list[0]) == 20
+
 
     def test_throughput_raises_when_no_positive_slope(self, monkeypatch):
         # a fake 1e-9 slope would post a ~1e15 Mray/s headline; with no
