@@ -27,7 +27,8 @@ precision, TerminalRayTracer.c:1157-1163 quantization):
   the flip count small; everything outside them is bit-equal.
 
 Tests run on CPU in interpret mode; the compiled Mosaic path is exercised
-on real TPU by bench.py and the app.
+on real TPU by bench.py and the app. Marked `slow`: the interpret
+program's XLA:CPU compile dominates on the 1-vCPU box.
 """
 
 import jax
@@ -43,60 +44,10 @@ from ttrt.render.integrator import render_frame
 from ttrt.scene import demo_scene
 from ttrt.vec import Vec3
 
-
-def quantize_u8(img) -> np.ndarray:
-    """The reference's output quantization: (int)(c*255) truncation
-    (buffered_draw_screen, TerminalRayTracer.c:1157-1163)."""
-    return np.clip((np.asarray(img, np.float64) * 255).astype(np.int32), 0, 255)
+pytestmark = pytest.mark.slow
 
 
-def _rotmat(axis: int, ang: float) -> np.ndarray:
-    c, s = np.cos(ang), np.sin(ang)
-    if axis == 0:
-        return np.array([[1, 0, 0], [0, c, -s], [0, s, c]], np.float64)
-    return np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float64)
-
-
-def perturbed_scenes(scene, eps: float) -> list:
-    """Ten ulp-scale pokes at everything a branch predicate can depend on:
-    camera origin (+-x,y,z), camera basis rotations about x and y (sky
-    texels depend only on DIRECTION, so translations alone cannot expose
-    texel-edge pixels), and the point-light position (shadow boundaries)."""
-    cam = scene.camera
-    f = cam.frame
-    outs = []
-    for axis in range(3):
-        for sgn in (1.0, -1.0):
-            delta = jnp.zeros(3, f.origin.dtype).at[axis].set(sgn * eps)
-            outs.append(scene._replace(camera=cam._replace(
-                frame=f._replace(origin=f.origin + delta))))
-    for axis in (0, 1):
-        for sgn in (1.0, -1.0):
-            basis = (np.asarray(f.basis, np.float64)
-                     @ _rotmat(axis, sgn * eps)).astype(np.asarray(f.basis).dtype)
-            outs.append(scene._replace(camera=cam._replace(
-                frame=f._replace(basis=jnp.asarray(basis)))))
-    pls = scene.point_lights
-    for sgn in (1.0, -1.0):
-        pos = Vec3(pls.position.x + sgn * eps, pls.position.y + sgn * eps,
-                   pls.position.z + sgn * eps)
-        outs.append(scene._replace(point_lights=pls._replace(position=pos)))
-    return outs
-
-
-def knife_mask(scene, cfg, q_ref: np.ndarray, eps: float) -> np.ndarray:
-    """(H, W) bool: oracle quantized output is unstable under any eps-scale
-    perturbation. All perturbed renders run in ONE vmapped call."""
-    stacked = jax.tree.map(
-        lambda *leaves: jnp.stack(leaves), *perturbed_scenes(scene, eps)
-    )
-    fbs, _ = jax.jit(
-        jax.vmap(lambda s: render_frame(s, cfg, count_rays=True))
-    )(stacked)
-    imgs = quantize_u8(np.stack(
-        [np.asarray(fbs.x), np.asarray(fbs.y), np.asarray(fbs.z)], axis=-1
-    ))  # (P, H, W, 3)
-    return (imgs != q_ref[None]).any(axis=(0, 3))
+from knife_util import knife_mask, quantize_u8  # noqa: E402 (shared machinery)
 
 
 def _small_setup(skybox_maker=make_colors_skybox, t=0.7, procedural=None,
@@ -126,6 +77,11 @@ def _small_setup(skybox_maker=make_colors_skybox, t=0.7, procedural=None,
     # pixels are legitimately perturbation-unstable — the exactness
     # bar (zero uncovered flips) is unchanged.
     (make_uv_checker_skybox, 1.9, "uv_checker", True, 0.27),
+    # the bilinear extension on an IMAGE cubemap: deferred 4-tap — the
+    # kernel emits the floor-based low-corner index + two weight
+    # streams, the XLA epilogue gathers 4 texels and lerps in the
+    # oracle's op order (VERDICT r3 #7: serve, don't refuse)
+    (make_uv_checker_skybox, 1.9, None, True, 0.30),
 ])
 def test_pallas_quantized_exact_off_knife_edges(maker, t, procedural,
                                                 bilinear, knife_cap):
@@ -187,9 +143,11 @@ def test_pallas_quantized_exact_off_knife_edges(maker, t, procedural,
 def test_pallas_rejects_unsupported():
     scene, cfg = _small_setup()
     with pytest.raises(ValueError):
-        render_frame_pallas(scene, cfg.with_(skybox_bilinear=True))
-    with pytest.raises(ValueError):
         render_frame_pallas(scene, cfg.with_(dtype=jnp.float64))
+    with pytest.raises(ValueError, match="bilinear"):
+        # the ghost split's decoy cancellation is nearest-tap only
+        render_frame_pallas(scene, cfg.with_(skybox_bilinear=True),
+                            ghost_sky="colors")
 
 
 @pytest.mark.parametrize("name", ["colors", "uv_checker"])

@@ -151,3 +151,115 @@ class TestTexelFetch:
             sample_skybox(sky, _dir_batch([[10.0, 0.1, 0.1]])).to_array()
         )
         np.testing.assert_allclose(got[0], [1, 0, 0], atol=1e-12)
+
+
+class TestDeferredBilinear:
+    """The Pallas kernels' deferred 4-tap bilinear machinery
+    (render_pallas._sky_texel_index_bilinear + the XLA epilogue's
+    neighbor derivation) must reconstruct sample_skybox(bilinear=True)
+    BIT-FOR-BIT from (idx00, wu, wv) alone — the kernel emits only those
+    three per-ray values. Fast (no Pallas program; pure jnp)."""
+
+    def test_epilogue_reconstructs_oracle(self):
+        from ttrt.kernels.render_pallas import (_sky_face_uv_cont,
+                                                _sky_texel_index_bilinear)
+        from ttrt.render.skybox import fetch_packed_texels
+
+        dim = 16
+        sky = skybox_from_faces(make_uv_checker_skybox(dim), jnp.float32)
+        rng = np.random.default_rng(11)
+        d = rng.standard_normal((512, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        dx = jnp.asarray(d[:, 0], jnp.float32)
+        dy = jnp.asarray(d[:, 1], jnp.float32)
+        dz = jnp.asarray(d[:, 2], jnp.float32)
+
+        # full-information kernel-side reference: the kernel's own
+        # (face, u, v) pushed through sample_skybox(bilinear=True)'s
+        # published formulas with NO index compression — any exact
+        # mismatch below is a bug in the (idx00, wu, wv) encode/decode,
+        # neighbor clamping, or lerp order
+        face_r, u_r, v_r = _sky_face_uv_cont(dx, dy, dz)
+        fu_r = (u_r + 0.5) * dim - 0.5
+        fv_r = (v_r + 0.5) * dim - 0.5
+        u0_r = jnp.clip(jnp.floor(fu_r).astype(jnp.int32), 0, dim - 1)
+        v0_r = jnp.clip(jnp.floor(fv_r).astype(jnp.int32), 0, dim - 1)
+        u1_r = jnp.minimum(u0_r + 1, dim - 1)
+        v1_r = jnp.minimum(v0_r + 1, dim - 1)
+        wu_r = jnp.clip(fu_r - u0_r.astype(jnp.float32), 0.0, 1.0)
+        wv_r = jnp.clip(fv_r - v0_r.astype(jnp.float32), 0.0, 1.0)
+        flat_r = sky.packed.reshape(-1)
+        base_r = face_r * (dim * dim)
+
+        def tap_r(vi, ui):
+            t = jnp.take(flat_r, base_r + vi * dim + ui)
+            return (((t >> 16) & 0xFF).astype(jnp.float32) / 255.0,
+                    ((t >> 8) & 0xFF).astype(jnp.float32) / 255.0,
+                    (t & 0xFF).astype(jnp.float32) / 255.0)
+
+        r00, r01 = tap_r(v0_r, u0_r), tap_r(v0_r, u1_r)
+        r10, r11 = tap_r(v1_r, u0_r), tap_r(v1_r, u1_r)
+        want = []
+        for ch in range(3):
+            top = r00[ch] * (1.0 - wu_r) + r01[ch] * wu_r
+            bot = r10[ch] * (1.0 - wu_r) + r11[ch] * wu_r
+            want.append(np.asarray(top * (1.0 - wv_r) + bot * wv_r))
+        want = np.stack(want, axis=-1)
+
+        idx, wu, wv = _sky_texel_index_bilinear(dx, dy, dz, dim)
+        # the epilogue's derivation (render_pallas._render_rays_pallas):
+        # everything below uses ONLY (idx, wu, wv) + the static dim
+        flat = sky.packed.reshape(-1)
+        u0 = idx % dim
+        v0 = (idx // dim) % dim
+        base = idx - v0 * dim - u0
+        u1 = jnp.minimum(u0 + 1, dim - 1)
+        v1 = jnp.minimum(v0 + 1, dim - 1)
+        c255 = jnp.asarray(255.0, jnp.float32)
+
+        def tap(vi, ui):
+            t = fetch_packed_texels(flat, base + vi * dim + ui)
+            return (((t >> 16) & 0xFF).astype(jnp.float32) / c255,
+                    ((t >> 8) & 0xFF).astype(jnp.float32) / c255,
+                    (t & 0xFF).astype(jnp.float32) / c255)
+
+        c00, c01 = tap(v0, u0), tap(v0, u1)
+        c10, c11 = tap(v1, u0), tap(v1, u1)
+        got = []
+        for ch in range(3):
+            top = c00[ch] * (1.0 - wu) + c01[ch] * wu
+            bot = c10[ch] * (1.0 - wu) + c11[ch] * wu
+            got.append(np.asarray(top * (1.0 - wv) + bot * wv))
+        got = np.stack(got, axis=-1)
+        np.testing.assert_array_equal(got, want.astype(np.float32))
+
+        # and the oracle itself is reproduced to uv-ulp noise: the ONLY
+        # permitted difference is the normalize flavor (_normalize3 vs
+        # Vec3.normalize — the render-level knife class); values must
+        # agree to sub-quantum everywhere
+        oracle = np.asarray(sample_skybox(
+            sky, Vec3(dx, dy, dz), bilinear=True
+        ).to_array())
+        np.testing.assert_allclose(got, oracle, atol=2e-5)
+        assert (got == oracle.astype(np.float32)).mean() > 0.85
+
+    def test_counter_stream_packing_roundtrip(self):
+        # idx00 must survive the kernel's << 10 counter-stream packing
+        # for every face/texel at the largest supported dim (591)
+        from ttrt.kernels.render_pallas import _sky_texel_index_bilinear
+
+        dim = 591
+        assert 6 * dim * dim <= (2**31 - 1) >> 10
+        rng = np.random.default_rng(3)
+        d = rng.standard_normal((256, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=1, keepdims=True)
+        idx, wu, wv = _sky_texel_index_bilinear(
+            jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]),
+            jnp.asarray(d[:, 2]), dim,
+        )
+        idx = np.asarray(idx)
+        packed = (idx.astype(np.int32) << 10) | 7  # counters in bits 0..9
+        assert (packed >= 0).all()  # no sign-bit overflow
+        np.testing.assert_array_equal(packed >> 10, idx)
+        assert ((np.asarray(wu) >= 0) & (np.asarray(wu) <= 1)).all()
+        assert ((np.asarray(wv) >= 0) & (np.asarray(wv) <= 1)).all()

@@ -55,12 +55,44 @@ def default_area_lights(cfg: RenderConfig):
 def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
                                encode: str = "device", seed: int = 0):
     """jit: (t, cam_offset) -> frame bytes via the Monte-Carlo integrator;
-    each frame draws an independent RNG stream from the frame index."""
+    each frame draws an independent RNG stream from the frame index.
+
+    Routes to the counter-RNG Pallas kernel (pathtrace_frame_pallas,
+    measured ~10x the XLA estimator at saturating sample counts) when it
+    serves the config — TPU backend, f32, procedural sky, demo-tier
+    geometry, bounce_limit <= 10, <= 10 area lights — else the XLA
+    estimator (the only path for f64 / image cubemaps / MeshScene)."""
     from ttrt.render.pathtrace import pathtrace_frame
     from ttrt.term.encoder import encode_ansi_frame, encode_rgb_frame
 
     enc = encode_ansi_frame if encode == "device" else encode_rgb_frame
     lights = default_area_lights(cfg)
+
+    use_kernel = (
+        cfg.dtype == jnp.float32
+        and scene.skybox.procedural is not None
+        and cfg.bounce_limit <= 10
+        and lights.count <= 10
+        and type(scene) is Scene
+        and jax.default_backend() != "cpu"
+    )
+    if use_kernel:
+        from ttrt.kernels.pathtrace_pallas import pathtrace_frame_pallas
+
+        @jax.jit
+        def frame_step(t, cam_offset):
+            frame = orbit_camera_frame(t, cfg.dtype)
+            frame = frame._replace(origin=frame.origin + cam_offset)
+            s = scene.with_camera_frame(frame)
+            # per-frame stream from the (quantized) scene time; the
+            # kernel's murmur3 counter hash decorrelates adjacent seeds
+            # (test_consecutive_seeds_decorrelated)
+            fseed = jnp.int32(seed) + (t * 1000.0).astype(jnp.int32)
+            fb = pathtrace_frame_pallas(s, lights, cfg, fseed)
+            return enc(fb)
+
+        return frame_step
+
     base_key = jax.random.PRNGKey(seed)
 
     @jax.jit
@@ -80,19 +112,17 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
 
 def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
     """Select the render path: the demo-tier Pallas kernel or the fused
-    mesh Pallas kernel when they support the config (f32, nearest
-    skybox, diffuse/in-kernel shading, real TPU backend), else the
-    fused-XLA integrator (the oracle, and the only path for the f64 /
-    bilinear / specular extensions)."""
+    mesh Pallas kernel when they support the config (f32, in-kernel
+    shading incl. the specular extension, bilinear for both sky kinds on
+    the demo kernel, real TPU backend), else the fused-XLA integrator
+    (the oracle, and the only path for the f64 extension and for
+    image-cubemap bilinear on MeshScenes)."""
     from ttrt.mesh.scene import MeshScene
 
     if renderer == "xla":
         return render_frame
     base_ok = (
         cfg.dtype == jnp.float32
-        # bilinear: in-kernel for procedural skies; image cubemaps need
-        # the XLA path (4-tap would quadruple the deferred-gather bound)
-        and (not cfg.skybox_bilinear or scene.skybox.procedural is not None)
         and cfg.bounce_limit <= 16
         and jax.default_backend() != "cpu"
     )
@@ -101,11 +131,17 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
         or 6 * scene.skybox.dim * scene.skybox.dim <= (2**31 - 1) >> 10
     )  # the kernels' counter-stream texel-index bound (dim <= 591)
     if base_ok and sky_dim_ok and type(scene) is Scene:
-        # the demo kernel serves the specular extension in-kernel
+        # the demo kernel serves specular in-kernel and bilinear for
+        # both sky kinds (procedural in-kernel, image cubemaps via the
+        # deferred 4-tap epilogue)
         from ttrt.kernels.render_pallas import render_frame_pallas
 
         return render_frame_pallas
-    if base_ok and not cfg.specular and sky_dim_ok and (
+    if base_ok and sky_dim_ok and (
+        # the fused mesh kernel's textured path is nearest-tap only;
+        # image-cubemap bilinear demotes to the XLA mesh integrator
+        not (cfg.skybox_bilinear and scene.skybox.procedural is None)
+    ) and (
         isinstance(scene, MeshScene) and scene.clusters is not None
     ):
         # many-object tier: the monolithic fused kernel (one pallas_call
@@ -725,6 +761,11 @@ def main(argv=None) -> int:
     dtype = jnp.float64 if args.f64 else jnp.float32
     if args.f64:
         jax.config.update("jax_enable_x64", True)
+    # disk-backed compile cache: a restarted process replays identical
+    # executables instead of re-compiling (TTRT_COMPILE_CACHE=0 disables)
+    from ttrt.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(quiet=False)
     cfg = RenderConfig(
         width=args.width, height=args.height, rays_per_pixel=args.spp,
         bounce_limit=args.bounces, frame_rate=args.fps, dtype=dtype,

@@ -482,6 +482,26 @@ def _sky_texel_index(dx, dy, dz, dim: int):
     return face * (dim * dim) + vi * dim + ui
 
 
+def _sky_texel_index_bilinear(dx, dy, dz, dim: int):
+    """(idx00, wu, wv) for the DEFERRED 4-tap bilinear image-cubemap
+    gather: idx00 is the flat index of the low-corner tap (same packed
+    face*dim^2 + v0*dim + u0 format the nearest path rides in the
+    counter stream, but with sample_skybox(bilinear=True)'s floor-based
+    texel-center mapping, ttrt.render.skybox), and wu/wv are its f32
+    fractional weights. The XLA epilogue derives the three clamped
+    neighbor indices from idx00 + dim alone (u1 = min(u0+1, dim-1) etc.
+    — clamping is per-component, so neighbors never leave the face) and
+    lerps in exactly the oracle's op order."""
+    face, u, v = _sky_face_uv_cont(dx, dy, dz)
+    fu = (u + 0.5) * dim - 0.5
+    fv = (v + 0.5) * dim - 0.5
+    u0 = jnp.clip(jnp.floor(fu).astype(jnp.int32), 0, dim - 1)
+    v0 = jnp.clip(jnp.floor(fv).astype(jnp.int32), 0, dim - 1)
+    wu = jnp.clip(fu - u0.astype(jnp.float32), 0.0, 1.0)
+    wv = jnp.clip(fv - v0.astype(jnp.float32), 0.0, 1.0)
+    return face * (dim * dim) + v0 * dim + u0, wu, wv
+
+
 # face colors of the 'colors' debug cubemap, /255 (ttrt.assets
 # make_colors_skybox): +X red, -X cyan, +Y green, -Y magenta, +Z blue,
 # -Z yellow — all channel values are exactly 0.0 or 1.0.
@@ -860,6 +880,7 @@ def _render_kernel(
     cam_ref, sph_ref, plane_ref, dl_ref, pl_ref,  # SMEM scene scalars
     pix_r_ref, pix_g_ref, pix_b_ref, total_ref, count_ref,  # VMEM outputs
     sky_w_ref=None,  # VMEM output (textured path only)
+    wu_ref=None, wv_ref=None,  # VMEM outputs (textured bilinear only)
     *,
     cfg: RenderConfig,
     n_spheres: int,
@@ -951,10 +972,21 @@ def _render_kernel(
     total_ref[0] = total
     if procedural is None:
         # the sky texel index rides the counter stream (bits 10..28; the
-        # 5|5-bit trace counts use bits 0..9): one fewer output stream
-        count_ref[0] = count | (
-            _sky_texel_index(dx, dy, dz, sky_dim) << 10
-        )
+        # 5|5-bit trace counts use bits 0..9): one fewer output stream.
+        # The bilinear extension carries the floor-based LOW-CORNER tap
+        # in the same bits plus its two fractional weights as extra f32
+        # streams (the 3 neighbor taps derive from idx00 in the XLA
+        # epilogue) — see _sky_texel_index_bilinear.
+        if cfg.skybox_bilinear:
+            assert ghost is None, "ghost decoy sky is nearest-tap only"
+            idx00, wu, wv = _sky_texel_index_bilinear(dx, dy, dz, sky_dim)
+            count_ref[0] = count | (idx00 << 10)
+            wu_ref[0] = wu
+            wv_ref[0] = wv
+        else:
+            count_ref[0] = count | (
+                _sky_texel_index(dx, dy, dz, sky_dim) << 10
+            )
         if ghost is None:
             sky_w_ref[0] = sky_w
     else:
@@ -1095,6 +1127,11 @@ def _render_rays_pallas(
         shapes_specs += [
             tile_out(jnp.float32),  # sky_w
         ]
+        if cfg.skybox_bilinear:
+            shapes_specs += [
+                tile_out(jnp.float32),  # wu (bilinear u fraction)
+                tile_out(jnp.float32),  # wv (bilinear v fraction)
+            ]
     out_shape = [s for s, _ in shapes_specs]
     out_specs = [sp for _, sp in shapes_specs]
 
@@ -1138,17 +1175,51 @@ def _render_rays_pallas(
                 interpret=interpret,
             )(packed.cam, packed.spheres, packed.plane, packed.dlights,
               packed.plights)
+        elif cfg.skybox_bilinear:
+            pr, pg, pb, total, counts, sky_w, wu_t, wv_t = outs
         else:
             pr, pg, pb, total, counts, sky_w = outs
         # deferred skybox fetch + final normalization (texels are packed
         # 0x00RRGGBB so each ray needs ONE 4-byte texel); the index is
         # unpacked from the counter stream
         idx = flat(counts) >> 10
-        texel = fetch_packed_texels(skybox_flat, idx)
         c255 = jnp.asarray(255.0, jnp.float32)
-        skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
-        skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
-        skb = (texel & 0xFF).astype(jnp.float32) / c255
+        if cfg.skybox_bilinear:
+            # 4-tap bilinear: idx is the low-corner tap (floor-based, see
+            # _sky_texel_index_bilinear); derive the clamped neighbors
+            # and lerp in exactly sample_skybox(bilinear=True)'s op order
+            # (ttrt.render.skybox). Cost = 4x the measured per-fetch
+            # gather bound — the refusal-vs-serve decision is recorded in
+            # render_frame_pallas's design note.
+            u0 = idx % sky_dim
+            v0 = (idx // sky_dim) % sky_dim
+            base = idx - v0 * sky_dim - u0  # face * dim^2
+            u1 = jnp.minimum(u0 + 1, sky_dim - 1)
+            v1 = jnp.minimum(v0 + 1, sky_dim - 1)
+            wu = flat(wu_t)
+            wv = flat(wv_t)
+
+            def tap(vi, ui):
+                t = fetch_packed_texels(skybox_flat, base + vi * sky_dim + ui)
+                return (
+                    ((t >> 16) & 0xFF).astype(jnp.float32) / c255,
+                    ((t >> 8) & 0xFF).astype(jnp.float32) / c255,
+                    (t & 0xFF).astype(jnp.float32) / c255,
+                )
+
+            c00, c01 = tap(v0, u0), tap(v0, u1)
+            c10, c11 = tap(v1, u0), tap(v1, u1)
+            sk = []
+            for ch in range(3):
+                top = c00[ch] * (1.0 - wu) + c01[ch] * wu
+                bot = c10[ch] * (1.0 - wu) + c11[ch] * wu
+                sk.append(top * (1.0 - wv) + bot * wv)
+            skr, skg, skb = sk
+        else:
+            texel = fetch_packed_texels(skybox_flat, idx)
+            skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
+            skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
+            skb = (texel & 0xFF).astype(jnp.float32) / c255
         if ghost is not None:
             # cancel the kernel's decoy 'colors' fold: recompute the decoy
             # value from the texel index's face (bit-exact — decoy texels
@@ -1208,35 +1279,32 @@ def render_frame_pallas(
     arbitrary-index in-kernel gather to beat it). Ignored for procedural
     skyboxes.
 
-    Restrictions vs the fused-XLA path: float32 only; image cubemaps are
-    nearest-neighbor (the reference's semantics; their bilinear extension
-    is served by the XLA path — see the design note at the
-    skybox_bilinear check). PROCEDURAL skies serve bilinear in-kernel
-    (gather-free 4-tap pattern replay), and the Blinn-Phong specular
-    extension (cfg.specular) is served in-kernel, mirroring
-    ttrt.render.lighting's math."""
+    Restrictions vs the fused-XLA path: float32 only; bounce_limit <= 16;
+    cubemap dim <= 591. The bilinear extension (reference TODO,
+    TerminalRayTracer.c:21-33) is served for BOTH sky kinds: procedural
+    in-kernel (gather-free 4-tap pattern replay) and image cubemaps via
+    the deferred 4-tap epilogue (see the design note below). The
+    Blinn-Phong specular extension (cfg.specular) is served in-kernel,
+    mirroring ttrt.render.lighting's math."""
     if cfg.dtype != jnp.float32:
         raise ConfigError("pallas path is float32-only")
-    if cfg.skybox_bilinear and scene.skybox.procedural is None:
-        # DESIGN DECISION (VERDICT r2 item 8): bilinear filtering of
-        # IMAGE cubemaps stays on the XLA path. The pallas textured-sky
-        # design is ONE deferred texel index per ray riding the counter
-        # stream (every extra output stream measurably slows the launch,
-        # and the epilogue gather is already the measured textured-tier
-        # bound at ~2.4-3 cycles/fetch); 4-tap filtering would quadruple
-        # the gather and add two fractional-weight streams. The
-        # reference's own default is nearest (bilinear is its in-file
-        # TODO, TerminalRayTracer.c:21-33) — the extension is served,
-        # just by the path built for it. PROCEDURAL skies ARE served
-        # bilinear in-kernel (_sky_color_procedural_bilinear): the 4
-        # taps are gather-free pattern replays, so the argument above
-        # does not apply. See README "TPU-first design decisions".
-        raise ConfigError(
-            "pallas path filters image cubemaps nearest-neighbor; the "
-            "bilinear extension on image skyboxes is served by the XLA "
-            "path (--renderer xla). Procedural skies support bilinear "
-            "in-kernel."
-        )
+    if cfg.skybox_bilinear and scene.skybox.procedural is None and ghost_sky:
+        # the ghost split's decoy cancellation is nearest-tap only (it
+        # recomputes the decoy from ONE face index); the plain textured
+        # kernel serves bilinear, so the combination has no user
+        raise ConfigError("ghost decoy sky does not serve --bilinear")
+    # Bilinear IMAGE cubemaps (the reference's in-file TODO,
+    # TerminalRayTracer.c:21-33) are served by the DEFERRED 4-tap path:
+    # the kernel emits the floor-based low-corner texel index in the
+    # counter stream plus two fractional-weight f32 streams, and the XLA
+    # epilogue derives the clamped neighbors, gathers 4 texels, and lerps
+    # in the oracle's exact op order (_sky_texel_index_bilinear). Round-3
+    # measurement put the textured tier's bound AT the epilogue gather
+    # (~2.4-3 cycles/fetch, invariant to layout/coherence/table size), so
+    # 4 taps land near 4x that bound — still far ahead of demoting the
+    # WHOLE frame to the XLA integrator (0.57 Gray/s vs ~1.0 textured).
+    # PROCEDURAL skies serve bilinear gather-free in-kernel
+    # (_sky_color_procedural_bilinear).
     if cfg.bounce_limit > 16:
         # the bounce chain is fully unrolled; keep compile time/program
         # size bounded (the XLA path serves deeper recursions)
