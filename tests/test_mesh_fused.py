@@ -117,7 +117,8 @@ class TestFusedBilinear:
     """The bilinear extension on the fused mesh kernel: procedural skies
     are served in-kernel (same 4-tap pattern replay as the demo kernel,
     bit-exactness covered by test_pallas_kernel's tap test); image
-    cubemaps refuse with a pointer to the XLA path."""
+    cubemaps via the deferred 4-tap epilogue (round 4, as the demo
+    kernel — idx00 in the counter stream + two weight streams)."""
 
     def _scene_cfg(self, procedural="uv_checker"):
         import jax
@@ -158,17 +159,30 @@ class TestFusedBilinear:
             "bilinear filtering did not change the sky"
         )
 
-    def test_bilinear_image_cubemap_refused(self):
-        import pytest as _pytest
+    def test_bilinear_image_cubemap_matches_oracle(self):
+        """Deferred 4-tap image bilinear on the fused kernel: the full
+        quantized-exact-off-knife parity bar vs the XLA mesh integrator
+        with cfg.skybox_bilinear, and the flag must change the image."""
+        import numpy as np
 
         from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+        from ttrt.render.integrator import render_frame
 
         scene, cfg = self._scene_cfg(procedural=None)
-        with _pytest.raises(ValueError, match="bilinear"):
-            render_frame_mesh_fused(
-                scene, cfg.with_(skybox_bilinear=True), interpret=True,
-                tile_rows=8,
-            )
+        cfg_b = cfg.with_(skybox_bilinear=True)
+        fb_ref, rays_ref = render_frame(scene, cfg_b, count_rays=True)
+        fb, rays = render_frame_mesh_fused(scene, cfg_b, interpret=True,
+                                           tile_rows=8)
+        assert int(rays) == int(rays_ref)
+        b = np.asarray(fb.to_array())
+        assert_quantized_exact_off_knife(
+            fb_ref.to_array(), b, scene, cfg_b, knife_cap=0.40,
+        )
+        fb_n, _ = render_frame_mesh_fused(scene, cfg, interpret=True,
+                                          tile_rows=8)
+        assert not np.array_equal(b, np.asarray(fb_n.to_array())), (
+            "bilinear flag did not change the image"
+        )
 
     def test_specular_matches_xla(self):
         """The Blinn-Phong extension in-kernel on the fused mesh path

@@ -66,8 +66,10 @@ from ttrt.config import ConfigError, RenderConfig, constants
 from ttrt.kernels.render_pallas import (LANES, _normalize3,
                                         _sky_color_procedural,
                                         _sky_color_procedural_bilinear,
-                                        _sky_texel_index, pack_camera,
-                                        pack_dlights, pack_plights)
+                                        _sky_texel_index,
+                                        _sky_texel_index_bilinear,
+                                        pack_camera, pack_dlights,
+                                        pack_plights)
 from ttrt.mesh.clusters import GROUPS, ClusterPack
 from ttrt.render.skybox import fetch_packed_texels
 from ttrt.vec import Vec3
@@ -139,6 +141,7 @@ def _fused_kernel(
     sph_ref, tri_ref,  # VMEM resident geometry (either may be None)
     out_r, out_g, out_b, out_total, out_cnt, out_skyw,  # (1, TR, 128)
     st_ref, q_ref, cnt_ref,  # VMEM scratch
+    out_wu=None, out_wv=None,  # (1, TR, 128) — textured bilinear only
     *,
     cfg: RenderConfig,
     kb_sph: int,
@@ -969,6 +972,15 @@ def _fused_kernel(
             pr = pr + skyw * skr
             pg = pg + skyw * skg
             pb = pb + skyw * skb
+        elif cfg.skybox_bilinear:
+            # deferred 4-tap image bilinear, as the demo kernel: the
+            # floor-based low-corner tap rides the counter stream, the
+            # fractional weights ride two extra f32 streams, and the
+            # XLA epilogue derives the clamped neighbors and lerps
+            idx00, wu, wv = _sky_texel_index_bilinear(dx, dy, dz, sky_dim)
+            cnt = cnt | (idx00 << 10)
+            out_wu[0] = wu
+            out_wv[0] = wv
         else:
             cnt = cnt | (_sky_texel_index(dx, dy, dz, sky_dim) << 10)
         out_r[0] = pr
@@ -1071,6 +1083,8 @@ def _render_rays_fused(
             memory_space=pltpu.VMEM,
         ))
 
+    bil_img = cfg.skybox_bilinear and procedural is None
+
     def kernel(*refs):
         cam_r, dl_r, pl_r, order_r, aabb_r = refs[:5]
         n = 5
@@ -1079,10 +1093,13 @@ def _render_rays_fused(
         tri_r = refs[n] if kb_tri else None
         n += 1 if kb_tri else 0
         outs = refs[n:n + 6]
-        scratch = refs[n + 6:]
+        n += 6
+        wuv = refs[n:n + 2] if bil_img else (None, None)
+        n += 2 if bil_img else 0
+        scratch = refs[n:]
         _fused_kernel(
             cam_r, dl_r, pl_r, order_r, aabb_r, sph_r, tri_r,
-            *outs, *scratch,
+            *outs, *scratch, out_wu=wuv[0], out_wv=wuv[1],
             cfg=cfg, kb_sph=kb_sph, kb_tri=kb_tri, n_dl=n_dl, n_pl=n_pl,
             sky_dim=sky_dim, tile_rows=tile_rows, procedural=procedural,
             prune=prune, n_rows=n_rows, n_samples=n_samples,
@@ -1102,6 +1119,11 @@ def _render_rays_fused(
         tile_out(jnp.int32),  # counters (| sky texel index when textured)
         tile_out(jnp.float32),  # sky_w
     ]
+    if bil_img:
+        shapes_specs += [
+            tile_out(jnp.float32),  # wu (bilinear u fraction)
+            tile_out(jnp.float32),  # wv (bilinear v fraction)
+        ]
     # state slot count: must equal the kernel's slot map (kernel asserts)
     # 17 base + n_dl (SDL_OD) + 9*n_pl (PL_BASE) + 7 (hit attrs + hw)
     # + 6 (accumulators) + 1 (BTF) + n_lights (SFOLD)
@@ -1122,7 +1144,10 @@ def _render_rays_fused(
         interpret=interpret,
     )(cam, dl, plt, order, aabb, *geom_in)
 
-    pr, pg, pb, total, counts, sky_w = outs
+    if bil_img:
+        pr, pg, pb, total, counts, sky_w, wu_t, wv_t = outs
+    else:
+        pr, pg, pb, total, counts, sky_w = outs
 
     def flat(a):
         return a.reshape(-1)
@@ -1134,11 +1159,41 @@ def _render_rays_fused(
         return a[:n_rays] if unscramble is None else a[unscramble]
 
     if procedural is None:
-        texel = fetch_packed_texels(skybox_flat, flat(counts) >> 10)
+        idx = flat(counts) >> 10
         c255 = jnp.asarray(255.0, jnp.float32)
-        skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
-        skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
-        skb = (texel & 0xFF).astype(jnp.float32) / c255
+        if bil_img:
+            # deferred 4-tap bilinear (as render_pallas's epilogue):
+            # clamped neighbors from idx00 + dim, oracle lerp order
+            u0 = idx % sky_dim
+            v0 = (idx // sky_dim) % sky_dim
+            base = idx - v0 * sky_dim - u0  # face * dim^2
+            u1 = jnp.minimum(u0 + 1, sky_dim - 1)
+            v1 = jnp.minimum(v0 + 1, sky_dim - 1)
+            wu = flat(wu_t)
+            wv = flat(wv_t)
+
+            def tap(vi, ui):
+                t = fetch_packed_texels(skybox_flat,
+                                        base + vi * sky_dim + ui)
+                return (
+                    ((t >> 16) & 0xFF).astype(jnp.float32) / c255,
+                    ((t >> 8) & 0xFF).astype(jnp.float32) / c255,
+                    (t & 0xFF).astype(jnp.float32) / c255,
+                )
+
+            c00, c01 = tap(v0, u0), tap(v0, u1)
+            c10, c11 = tap(v1, u0), tap(v1, u1)
+            sk = []
+            for ch in range(3):
+                top = c00[ch] * (1.0 - wu) + c01[ch] * wu
+                bot = c10[ch] * (1.0 - wu) + c11[ch] * wu
+                sk.append(top * (1.0 - wv) + bot * wv)
+            skr, skg, skb = sk
+        else:
+            texel = fetch_packed_texels(skybox_flat, idx)
+            skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255
+            skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
+            skb = (texel & 0xFF).astype(jnp.float32) / c255
         w = flat(sky_w)
         total_f = flat(total)
         inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
@@ -1183,14 +1238,6 @@ def render_band_mesh_fused(
     per-pixel sample SUM for a cross-chip psum."""
     if cfg.dtype != jnp.float32:
         raise ConfigError("fused mesh path is float32-only")
-    if cfg.skybox_bilinear and scene.skybox.procedural is None:
-        # same design decision as render_frame_pallas: 4-tap filtering of
-        # an image cubemap would quadruple the deferred-gather bound;
-        # procedural skies serve bilinear in-kernel
-        raise ConfigError(
-            "fused mesh path filters image cubemaps nearest-neighbor; "
-            "use the XLA path for bilinear image skyboxes"
-        )
     if cfg.bounce_limit > 16:
         raise ConfigError("fused mesh path supports bounce_limit <= 16")
     if scene.clusters is None:
