@@ -329,10 +329,29 @@ def bench_textured() -> dict:
                                        keep_outs=True)
     run_rays = [_mean_rays(o) for o in outs_list]
     rays = int(np.mean(run_rays))
+
+    # BILINEAR image cubemap (the reference's TODO, c:21-33) on the same
+    # kernel: the deferred 4-tap epilogue (round 4). Measures the real
+    # cost of quadrupling the texel gather — the number VERDICT r3 #7
+    # asked for — as a comparison point (repeats=3).
+    cfg_bil = cfg.with_(skybox_bilinear=True)
+
+    @jax.jit
+    def step_bil(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        fb, rays = render_frame_pallas(
+            scene.with_camera_frame(frame), cfg_bil
+        )
+        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+
+    sec_bil, outs_bil, _ = _throughput(step_bil, scene, series, repeats=3)
     return {
         "mrays_textured": rays / sec / 1e6,
         "mrays_textured_runs": [rr / p / 1e6
                                 for rr, p in zip(run_rays, pers)],
+        "mrays_textured_bilinear": _mean_rays(outs_bil) / sec_bil / 1e6,
     }
 
 
@@ -726,6 +745,7 @@ def main() -> int:
         "median_of": {
             "mrays_per_s": 5, "mrays_textured": 5, "mrays_10k_fused": 5,
             "pathtrace_msamples_per_s": 5, "mrays_per_s_xla": 3,
+            "mrays_textured_bilinear": 3,
             "mrays_10k_flyover": 3, "fps_240x64_*": 3,
             "mrays_10k_cluster": 1, "mrays_10k_dense_corrected": 1,
         },

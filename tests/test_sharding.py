@@ -263,3 +263,130 @@ class TestShardedMeshFused:
         # sharding test above for the rationale)
         np.testing.assert_allclose(ref, shd, rtol=0.0, atol=4e-7)
         assert int(rays_s) == int(rays)
+
+
+@pytest.mark.slow
+class TestObjectSharded:
+    """The 'objects' axis (ttrt.parallel.objects): the cluster pack's
+    subcluster axis sharded across chips, ALL rays replicated, one
+    pmin-pair per trace combining local winners. Geometry-parallel — the
+    axis for scenes whose pack exceeds one chip's VMEM."""
+
+    def _scene(self, cfg, n_spheres=1024):
+        from ttrt.assets import make_colors_skybox, skybox_from_faces
+        from ttrt.mesh import many_sphere_scene
+
+        scene = many_sphere_scene(
+            skybox_from_faces(make_colors_skybox(8), jnp.float32),
+            n_spheres=n_spheres, width_px=cfg.width, height_px=cfg.height,
+            floor_cells=2, seed=7,
+        )
+        frame = jax.tree.map(lambda a: a.astype(jnp.float32),
+                             orbit_camera_frame(0.9, jnp.float32))
+        return scene.with_camera_frame(frame)
+
+    def test_sharded_nearest_matches_full_pack(self):
+        """Exact (t, id) equality: 8-way sharded sweep + combine vs the
+        full-pack kernel. 1024 spheres -> kb_sph 8 (1/device); the floor
+        pads from kb_tri 1 to 8 (7 devices sweep only inert padding)."""
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from ttrt.kernels.mesh_pallas import cluster_nearest
+        from ttrt.parallel.objects import (combine_nearest,
+                                           pack_specs,
+                                           pad_pack_subclusters)
+        from ttrt.vec import Vec3
+
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=1,
+                           bounce_limit=1, dtype=jnp.float32)
+        scene = self._scene(cfg)
+        rng = np.random.default_rng(5)
+        n = 256
+        o = rng.uniform(-4, 4, (3, n)).astype(np.float32)
+        d = rng.standard_normal((3, n)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=0, keepdims=True)
+        o_j = jnp.asarray(o)
+        d_j = jnp.asarray(d)
+
+        gh_ref = cluster_nearest(
+            scene.clusters, Vec3(*o_j), Vec3(*d_j), interpret=True,
+            tile_rows=8, subs_per_page=2,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:8]), ("objects",))
+        pack_p = pad_pack_subclusters(scene.clusters, 8)
+
+        @jax.jit
+        @jax.shard_map(mesh=mesh, in_specs=(pack_specs(), P(), P()),
+                       out_specs=(P(), P()), check_vma=False)
+        def sharded(pack, ov, dv):
+            gh = cluster_nearest(pack, Vec3(*ov), Vec3(*dv),
+                                 interpret=True, tile_rows=8,
+                                 subs_per_page=2)
+            gh = combine_nearest(gh)
+            return gh.t, gh.obj
+
+        t_s, obj_s = sharded(pack_p, o_j, d_j)
+        np.testing.assert_array_equal(np.asarray(obj_s),
+                                      np.asarray(gh_ref.obj))
+        np.testing.assert_array_equal(np.asarray(t_s),
+                                      np.asarray(gh_ref.t))
+
+    def test_sharded_render_matches_cluster_path(self):
+        """Full-frame render over the 'objects' mesh == the unsharded
+        CPU render forced through the SAME cluster kernel (exact: the
+        combine changes nothing without cross-shard exact-t ties)."""
+        from jax.sharding import Mesh
+
+        import ttrt.mesh.scene as ms
+        from ttrt.parallel.objects import render_frame_sharded_objects
+
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=1,
+                           bounce_limit=2, dtype=jnp.float32)
+        scene = self._scene(cfg, n_spheres=256)
+        mesh = Mesh(np.array(jax.devices()[:8]), ("objects",))
+
+        old = ms._FORCE_CLUSTERS
+        ms._FORCE_CLUSTERS = True
+        try:
+            fb_ref, rays_ref = render_frame(scene, cfg, count_rays=True)
+        finally:
+            ms._FORCE_CLUSTERS = old
+        fb_s, rays_s = jax.jit(
+            lambda s: render_frame_sharded_objects(s, cfg, mesh)
+        )(scene)
+        np.testing.assert_array_equal(
+            np.asarray(fb_s.to_array()), np.asarray(fb_ref.to_array())
+        )
+        assert int(rays_s) == int(rays_ref)
+
+    def test_rows_objects_composed_mesh(self):
+        """('rows', 'objects') 2D mesh: ray rows sharded AND geometry
+        sharded (the dp x tp composition) must still reproduce the
+        unsharded cluster-path frame exactly."""
+        from jax.sharding import Mesh
+
+        import ttrt.mesh.scene as ms
+        from ttrt.parallel.objects import render_frame_sharded_objects
+
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=1,
+                           bounce_limit=2, dtype=jnp.float32)
+        scene = self._scene(cfg, n_spheres=256)
+        mesh = Mesh(
+            np.array(jax.devices()[:8]).reshape(4, 2),
+            ("rows", "objects"),
+        )
+
+        old = ms._FORCE_CLUSTERS
+        ms._FORCE_CLUSTERS = True
+        try:
+            fb_ref, rays_ref = render_frame(scene, cfg, count_rays=True)
+        finally:
+            ms._FORCE_CLUSTERS = old
+        fb_s, rays_s = jax.jit(
+            lambda s: render_frame_sharded_objects(s, cfg, mesh)
+        )(scene)
+        np.testing.assert_array_equal(
+            np.asarray(fb_s.to_array()), np.asarray(fb_ref.to_array())
+        )
+        assert int(rays_s) == int(rays_ref)

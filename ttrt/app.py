@@ -113,10 +113,10 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
 def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
     """Select the render path: the demo-tier Pallas kernel or the fused
     mesh Pallas kernel when they support the config (f32, in-kernel
-    shading incl. the specular extension, bilinear for both sky kinds on
-    the demo kernel, real TPU backend), else the fused-XLA integrator
-    (the oracle, and the only path for the f64 extension and for
-    image-cubemap bilinear on MeshScenes)."""
+    shading incl. the specular extension, bilinear for both sky kinds —
+    procedural in-kernel, image cubemaps via the deferred 4-tap
+    epilogue — real TPU backend), else the fused-XLA integrator (the
+    oracle, and the only path for the f64 extension)."""
     from ttrt.mesh.scene import MeshScene
 
     if renderer == "xla":
@@ -138,10 +138,6 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
 
         return render_frame_pallas
     if base_ok and sky_dim_ok and (
-        # the fused mesh kernel's textured path is nearest-tap only;
-        # image-cubemap bilinear demotes to the XLA mesh integrator
-        not (cfg.skybox_bilinear and scene.skybox.procedural is None)
-    ) and (
         isinstance(scene, MeshScene) and scene.clusters is not None
     ):
         # many-object tier: the monolithic fused kernel (one pallas_call
