@@ -293,22 +293,22 @@ class TestRendererRouting:
             self._cfg(skybox_bilinear=True),
         ) is render_frame_pallas
 
-    def test_bilinear_image_mesh_scene_falls_back_to_xla(self, tpu_backend):
-        # the fused mesh kernel's textured path stays nearest-tap: the
-        # image-bilinear combination demotes MeshScenes to the oracle
+    def test_bilinear_image_mesh_scene_stays_fused(self, tpu_backend):
+        # the fused mesh kernel serves image-cubemap bilinear via the
+        # deferred 4-tap epilogue (round 4) — no demotion
         import jax.numpy as jnp
 
         from ttrt.app import _pick_renderer
         from ttrt.assets import make_colors_skybox, skybox_from_faces
+        from ttrt.kernels.mesh_fused import render_frame_mesh_fused
         from ttrt.mesh import many_sphere_scene
-        from ttrt.render.integrator import render_frame
 
         sky = skybox_from_faces(make_colors_skybox(8), jnp.float32)
         scene = many_sphere_scene(sky, n_spheres=32, width_px=16,
                                   height_px=8)
         assert _pick_renderer(
             scene, self._cfg(skybox_bilinear=True)
-        ) is render_frame
+        ) is render_frame_mesh_fused
 
     def test_cpu_backend_uses_xla(self):
         from ttrt.app import _pick_renderer
