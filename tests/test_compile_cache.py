@@ -8,8 +8,25 @@ plumbing: env gate, directory creation, and non-fatality.
 import os
 
 import jax
+import pytest
 
 from ttrt.utils.compile_cache import enable_compile_cache
+
+
+@pytest.fixture(autouse=True)
+def _restore_jax_cache_config():
+    """enable_compile_cache mutates GLOBAL jax config; without teardown
+    every later test in this pytest process would serialize its compiled
+    executables into a throwaway tmp dir (pure overhead on the
+    minutes-long interpret-mode kernel compiles)."""
+    keys = ("jax_compilation_cache_dir",
+            "jax_persistent_cache_min_compile_time_secs",
+            "jax_persistent_cache_min_entry_size_bytes")
+    before = {k: getattr(jax.config, k) for k in keys
+              if hasattr(jax.config, k)}
+    yield
+    for k, v in before.items():
+        jax.config.update(k, v)
 
 
 def test_env_zero_disables(monkeypatch):

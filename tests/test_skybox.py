@@ -163,7 +163,6 @@ class TestDeferredBilinear:
     def test_epilogue_reconstructs_oracle(self):
         from ttrt.kernels.render_pallas import (_sky_face_uv_cont,
                                                 _sky_texel_index_bilinear)
-        from ttrt.render.skybox import fetch_packed_texels
 
         dim = 16
         sky = skybox_from_faces(make_uv_checker_skybox(dim), jnp.float32)
@@ -207,30 +206,16 @@ class TestDeferredBilinear:
         want = np.stack(want, axis=-1)
 
         idx, wu, wv = _sky_texel_index_bilinear(dx, dy, dz, dim)
-        # the epilogue's derivation (render_pallas._render_rays_pallas):
-        # everything below uses ONLY (idx, wu, wv) + the static dim
-        flat = sky.packed.reshape(-1)
-        u0 = idx % dim
-        v0 = (idx // dim) % dim
-        base = idx - v0 * dim - u0
-        u1 = jnp.minimum(u0 + 1, dim - 1)
-        v1 = jnp.minimum(v0 + 1, dim - 1)
-        c255 = jnp.asarray(255.0, jnp.float32)
+        # the PRODUCTION epilogue helper (shared by both kernels) must
+        # reconstruct the full-info reference from ONLY (idx, wu, wv)
+        # + the static dim
+        from ttrt.render.skybox import bilinear_from_low_tap
 
-        def tap(vi, ui):
-            t = fetch_packed_texels(flat, base + vi * dim + ui)
-            return (((t >> 16) & 0xFF).astype(jnp.float32) / c255,
-                    ((t >> 8) & 0xFF).astype(jnp.float32) / c255,
-                    (t & 0xFF).astype(jnp.float32) / c255)
-
-        c00, c01 = tap(v0, u0), tap(v0, u1)
-        c10, c11 = tap(v1, u0), tap(v1, u1)
-        got = []
-        for ch in range(3):
-            top = c00[ch] * (1.0 - wu) + c01[ch] * wu
-            bot = c10[ch] * (1.0 - wu) + c11[ch] * wu
-            got.append(np.asarray(top * (1.0 - wv) + bot * wv))
-        got = np.stack(got, axis=-1)
+        got = np.stack([
+            np.asarray(ch) for ch in bilinear_from_low_tap(
+                sky.packed.reshape(-1), idx, wu, wv, dim
+            )
+        ], axis=-1)
         np.testing.assert_array_equal(got, want.astype(np.float32))
 
         # and the oracle itself is reproduced to uv-ulp noise: the ONLY

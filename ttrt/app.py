@@ -84,10 +84,18 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
             frame = orbit_camera_frame(t, cfg.dtype)
             frame = frame._replace(origin=frame.origin + cam_offset)
             s = scene.with_camera_frame(frame)
-            # per-frame stream from the (quantized) scene time; the
-            # kernel's murmur3 counter hash decorrelates adjacent seeds
-            # (test_consecutive_seeds_decorrelated)
-            fseed = jnp.int32(seed) + (t * 1000.0).astype(jnp.int32)
+            # per-frame stream: MIX the user seed and the quantized
+            # scene time instead of adding them — seed1+t1 == seed2+t2
+            # would replay an identical frame stream across different
+            # --seed runs (the XLA path's fold_in has no such collisions;
+            # the kernel hashes whatever lands in fseed, so distinct
+            # fseeds decorrelate — test_consecutive_seeds_decorrelated)
+            from ttrt.kernels.pathtrace_pallas import _mix32
+
+            tq = (t * 1000.0).astype(jnp.int32).astype(jnp.uint32)
+            fseed = (
+                _mix32(jnp.uint32(seed) * jnp.uint32(0x9E3779B9)) ^ tq
+            ).astype(jnp.int32)
             fb = pathtrace_frame_pallas(s, lights, cfg, fseed)
             return enc(fb)
 

@@ -1186,35 +1186,16 @@ def _render_rays_pallas(
         c255 = jnp.asarray(255.0, jnp.float32)
         if cfg.skybox_bilinear:
             # 4-tap bilinear: idx is the low-corner tap (floor-based, see
-            # _sky_texel_index_bilinear); derive the clamped neighbors
-            # and lerp in exactly sample_skybox(bilinear=True)'s op order
-            # (ttrt.render.skybox). Cost = 4x the measured per-fetch
-            # gather bound — the refusal-vs-serve decision is recorded in
-            # render_frame_pallas's design note.
-            u0 = idx % sky_dim
-            v0 = (idx // sky_dim) % sky_dim
-            base = idx - v0 * sky_dim - u0  # face * dim^2
-            u1 = jnp.minimum(u0 + 1, sky_dim - 1)
-            v1 = jnp.minimum(v0 + 1, sky_dim - 1)
-            wu = flat(wu_t)
-            wv = flat(wv_t)
+            # _sky_texel_index_bilinear); shared epilogue helper — the
+            # lerp order is a bit-exactness contract with sample_skybox.
+            # Cost = 4x the measured per-fetch gather bound; the
+            # refusal-vs-serve decision is in render_frame_pallas's
+            # design note.
+            from ttrt.render.skybox import bilinear_from_low_tap
 
-            def tap(vi, ui):
-                t = fetch_packed_texels(skybox_flat, base + vi * sky_dim + ui)
-                return (
-                    ((t >> 16) & 0xFF).astype(jnp.float32) / c255,
-                    ((t >> 8) & 0xFF).astype(jnp.float32) / c255,
-                    (t & 0xFF).astype(jnp.float32) / c255,
-                )
-
-            c00, c01 = tap(v0, u0), tap(v0, u1)
-            c10, c11 = tap(v1, u0), tap(v1, u1)
-            sk = []
-            for ch in range(3):
-                top = c00[ch] * (1.0 - wu) + c01[ch] * wu
-                bot = c10[ch] * (1.0 - wu) + c11[ch] * wu
-                sk.append(top * (1.0 - wv) + bot * wv)
-            skr, skg, skb = sk
+            skr, skg, skb = bilinear_from_low_tap(
+                skybox_flat, idx, flat(wu_t), flat(wv_t), sky_dim
+            )
         else:
             texel = fetch_packed_texels(skybox_flat, idx)
             skr = ((texel >> 16) & 0xFF).astype(jnp.float32) / c255

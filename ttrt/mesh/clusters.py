@@ -137,15 +137,18 @@ def pack_clusters(
     spheres: Optional[Spheres],
     triangles: Optional[Triangles],
     *,
-    np_spheres=None,  # (centers, radii[, colors, refl, spec]) host arrays
-    np_tris=None,  # Triangles.create_np dict
+    np_spheres=None,  # (centers, radii) or (centers, radii, colors,
+    #                   refl, spec) host arrays — materials all-or-none
+    np_tris=None,  # Triangles.create_np dict (incl. 'specularity')
 ) -> ClusterPack:
     """Host-side pack: Morton-sort, chunk into 128-wide clusters, compute
     AABBs, lay out the (C, KB, 8, 16) tables. Pass the geometry as host
     arrays when available — fetching the device leaves back costs up to
     ~90 s per buffer on tunnel backends. ``np_spheres`` may carry the
-    material (colors, reflectivity) as 3rd/4th entries; otherwise the
-    device material leaves are fetched."""
+    material as entries 3..5, ALL of (colors, refl, spec) or none — a
+    partial material would silently fall back to device fetches for the
+    rest (the regression class round 2 fixed), so it raises instead;
+    with geometry-only tuples the material leaves are fetched."""
     f32 = np.float32
 
     def table(rows):  # list of (n_pad,) -> (C, n_pad//128, 8, 16)
@@ -166,10 +169,17 @@ def pack_clusters(
             r = np.asarray(np_spheres[1], f32)
             col3 = np.asarray(np_spheres[2], f32)
             refl = np.asarray(np_spheres[3], f32)
-            spec = (
-                np.asarray(np_spheres[4], f32) if len(np_spheres) >= 5
-                else np.asarray(spheres.material.specularity, f32)
-            )
+            if len(np_spheres) < 5:
+                # falling back to the device leaf here would be a
+                # SYNCHRONOUS device->host fetch mid-build — the exact
+                # regression the np fast path exists to avoid (~90 s
+                # first fetch on tunnel backends). Require the host
+                # array instead.
+                raise ValueError(
+                    "np_spheres fast path requires spec: pass "
+                    "(centers, radii, colors, refl, spec)"
+                )
+            spec = np.asarray(np_spheres[4], f32)
         else:
             if np_spheres is not None:
                 c = np.asarray(np_spheres[0], f32)
@@ -247,11 +257,13 @@ def pack_clusters(
             nrm = np.asarray(np_tris["normal"], f32)
             tcol = np.asarray(np_tris["color"], f32)
             trefl = np.asarray(np_tris["reflectivity"], f32)
-            tspec = (
-                np.asarray(np_tris["specularity"], f32)
-                if "specularity" in np_tris
-                else np.asarray(triangles.material.specularity, f32)
-            )
+            if "specularity" not in np_tris:
+                # same no-device-fetch rule as np_spheres above
+                # (Triangles.create_np always includes the key)
+                raise ValueError(
+                    "np_tris fast path requires a 'specularity' entry"
+                )
+            tspec = np.asarray(np_tris["specularity"], f32)
         else:
             v0 = np.stack(
                 [np.asarray(v, np.float64) for v in triangles.v0], -1

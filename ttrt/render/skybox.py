@@ -168,6 +168,40 @@ def _unpack(texels: jnp.ndarray, dtype) -> Vec3:
     )
 
 
+def bilinear_from_low_tap(flat_table: jnp.ndarray, idx00: jnp.ndarray,
+                          wu: jnp.ndarray, wv: jnp.ndarray, dim: int):
+    """Reconstruct sample_skybox(bilinear=True)'s 4-tap filter from the
+    DEFERRED per-ray triple (idx00, wu, wv) alone — the Pallas kernels'
+    epilogue contract (idx00 = face*dim^2 + v0*dim + u0 with the
+    floor-based texel-center mapping; see
+    render_pallas._sky_texel_index_bilinear). The neighbor indices
+    derive from idx00 + dim (per-component clamping keeps taps on the
+    face), and the lerp runs in the oracle's exact op order — this is a
+    BIT-EXACTNESS contract shared by both production kernels, so it
+    lives in one place. Returns (r, g, b) f32 arrays."""
+    u0 = idx00 % dim
+    v0 = (idx00 // dim) % dim
+    base = idx00 - v0 * dim - u0  # face * dim^2
+    u1 = jnp.minimum(u0 + 1, dim - 1)
+    v1 = jnp.minimum(v0 + 1, dim - 1)
+    c255 = jnp.asarray(255.0, jnp.float32)
+
+    def tap(vi, ui):
+        t = fetch_packed_texels(flat_table, base + vi * dim + ui)
+        return (((t >> 16) & 0xFF).astype(jnp.float32) / c255,
+                ((t >> 8) & 0xFF).astype(jnp.float32) / c255,
+                (t & 0xFF).astype(jnp.float32) / c255)
+
+    c00, c01 = tap(v0, u0), tap(v0, u1)
+    c10, c11 = tap(v1, u0), tap(v1, u1)
+    out = []
+    for ch in range(3):
+        top = c00[ch] * (1.0 - wu) + c01[ch] * wu
+        bot = c10[ch] * (1.0 - wu) + c11[ch] * wu
+        out.append(top * (1.0 - wv) + bot * wv)
+    return tuple(out)
+
+
 def sample_skybox(skybox: Skybox, d: Vec3, *, bilinear: bool = False) -> Vec3:
     """Sample the cubemap along direction batch ``d``; returns float colors
     in [0,1]. One packed-u32 gather per sample (the gather is the hot
