@@ -390,3 +390,55 @@ class TestObjectSharded:
             np.asarray(fb_s.to_array()), np.asarray(fb_ref.to_array())
         )
         assert int(rays_s) == int(rays_ref)
+
+
+class TestCombineNearest:
+    """Unit semantics of the objects-axis combine (fast: no kernels).
+    Pins the contract the render tests rely on: argmin-by-t across
+    shards, exact-t ties to the LOWEST id (the C scan's ascending-id
+    strict-'<' semantics), misses as (inf, -1), padding-only shards
+    inert."""
+
+    def _run(self, ts, objs):
+        from jax.sharding import Mesh, PartitionSpec as P
+
+        from ttrt.mesh.grid import GridHit
+        from ttrt.parallel.objects import combine_nearest
+
+        n = len(ts)  # one (t, obj) row per device
+        mesh = Mesh(np.array(jax.devices()[:n]), ("objects",))
+
+        @jax.shard_map(mesh=mesh, in_specs=(P("objects"), P("objects")),
+                       out_specs=(P(), P()), check_vma=False)
+        def body(t, obj):
+            gh = combine_nearest(GridHit(t=t[0], obj=obj[0]))
+            return gh.t, gh.obj
+
+        t = jnp.asarray(np.array(ts, np.float32))
+        o = jnp.asarray(np.array(objs, np.int32))
+        tt, oo = body(t, o)
+        return np.asarray(tt), np.asarray(oo)
+
+    def test_nearest_wins(self):
+        inf = np.inf
+        t, o = self._run(
+            [[3.0, 2.0], [1.5, inf], [2.5, 0.5], [inf, inf]],
+            [[10, 11], [20, -1], [30, 31], [-1, -1]],
+        )
+        np.testing.assert_array_equal(t, [1.5, 0.5])
+        np.testing.assert_array_equal(o, [20, 31])
+
+    def test_exact_tie_lowest_id(self):
+        t, o = self._run(
+            [[2.0], [2.0], [2.0], [5.0]],
+            [[7], [3], [12], [0]],
+        )
+        assert t[0] == 2.0 and o[0] == 3
+
+    def test_all_miss_and_padding_shards(self):
+        inf = np.inf
+        t, o = self._run(
+            [[inf], [inf], [inf], [inf]],
+            [[-1], [-1], [-1], [-1]],
+        )
+        assert np.isinf(t[0]) and o[0] == -1
