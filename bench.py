@@ -478,6 +478,47 @@ def bench_many_object() -> dict:
     }
 
 
+def bench_many_object_100k() -> dict:
+    """CAPABILITY tier beyond the reference-derived 10k: 100k spheres +
+    floor through the SAME fused whole-frame kernel (the Morton pack is
+    ~4 MB of the chip's ~128 MB VMEM — an order of magnitude of scale
+    headroom over config 4). Exterior fly-over camera (the interior
+    datum at this density is all-pairs-roofline-bound by construction;
+    see BASELINE.md 10k amendment), spp 2. Its own tier so a failure
+    cannot cost the 10k datum."""
+    from ttrt.assets import make_colors_skybox, skybox_from_faces
+    from ttrt.config import RenderConfig
+    from ttrt.frames import orbit_camera_frame
+    from ttrt.kernels.mesh_fused import render_frame_mesh_fused
+    from ttrt.mesh import many_sphere_scene
+
+    cfg = RenderConfig(width=240, height=64, rays_per_pixel=2,
+                       bounce_limit=3, dtype=jnp.float32)
+    scene = many_sphere_scene(
+        skybox_from_faces(make_colors_skybox(64), jnp.float32),
+        n_spheres=100_000, width_px=cfg.width, height_px=cfg.height,
+    )
+
+    @jax.jit
+    def step_fly(scene, t):
+        frame = jax.tree.map(
+            lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
+        )
+        frame = frame._replace(origin=frame.origin * 20.0)
+        fb, rays = render_frame_mesh_fused(
+            scene.with_camera_frame(frame), cfg
+        )
+        return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
+
+    series = TimeSeries(cfg.dtype, base=2100.0, step=0.21)
+    sec, outs, _ = _throughput(step_fly, scene, series, n_small=3,
+                               n_big=9, repeats=3)
+    return {
+        "mrays_100k_flyover": _mean_rays(outs) / sec / 1e6,
+        "subclusters_100k": scene.clusters.kb_sph + scene.clusters.kb_tri,
+    }
+
+
 def bench_physics() -> dict:
     """Config-5 tier: GJK stepping rate for a 64-body world, plus the
     FUSED physics-step + render + encode frame rate (the tier's actual
@@ -732,7 +773,8 @@ def main() -> int:
     r = run_tier(bench_rays)
     s = run_tier(bench_streaming)
     extra = {}
-    for fn in (bench_textured, bench_many_object, bench_physics,
+    for fn in (bench_textured, bench_many_object,
+               bench_many_object_100k, bench_physics,
                bench_pathtrace):
         extra.update(run_tier(fn))
     target_mrays = 1000.0  # 1 Gray/s/chip north star (BASELINE.json)
@@ -760,7 +802,7 @@ def main() -> int:
             "mrays_per_s": 5, "mrays_textured": 5, "mrays_10k_fused": 5,
             "pathtrace_msamples_per_s": 5, "mrays_per_s_xla": 3,
             "mrays_textured_bilinear": 3,
-            "mrays_10k_flyover": 3, "fps_240x64_*": 3,
+            "mrays_10k_flyover": 3, "mrays_100k_flyover": 3, "fps_240x64_*": 3,
             "mrays_10k_cluster": 1, "mrays_10k_dense_corrected": 1,
         },
         "device": str(backend),
