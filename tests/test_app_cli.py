@@ -118,6 +118,36 @@ def test_bad_flags_rejected():
     assert r.returncode == 2
 
 
+def test_energy_model_subtract_still(tmp_path):
+    """--energy-model subtract (the reference's roadmap reflectivity
+    model, TerminalRayTracer.c:24-28) renders and visibly differs from
+    the parity model at identical settings."""
+    out_s = str(tmp_path / "sub.ppm")
+    out_p = str(tmp_path / "par.ppm")
+    common = ["--width", "32", "--height", "16", "--spp", "1",
+              "--time", "1.0", "--skybox", "colors"]
+    r = _run(["--still", out_s, "--energy-model", "subtract", *common])
+    assert r.returncode == 0, r.stderr[-2000:]
+    r = _run(["--still", out_p, *common])
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out_s, "rb") as f:
+        sub = f.read()
+    with open(out_p, "rb") as f:
+        par = f.read()
+    assert sub[:2] == b"P6" and sub != par
+
+
+def test_energy_model_refused_with_pathtrace():
+    """The path tracer's BRDF already splits energy by reflectivity —
+    the flag must be refused loudly (one-line error), not silently
+    ignored."""
+    r = _run(["--pathtrace", "--energy-model", "subtract",
+              "--width", "16", "--height", "8", "--spp", "1",
+              "--frames", "1"])
+    assert r.returncode == 1
+    assert b"energy-model" in r.stderr
+
+
 @pytest.mark.parametrize("pipeline", [2])
 def test_animation_stream_pipelined(pipeline):
     """Pipelined mode must still emit exactly --frames valid frames."""

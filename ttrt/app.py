@@ -683,6 +683,13 @@ def main(argv=None) -> int:
     p.add_argument("--specular", action="store_true",
                    help="Blinn-Phong specular highlights (latent in the "
                         "reference: commented-out code)")
+    p.add_argument("--energy-model", choices=["parity", "subtract"],
+                   default="parity",
+                   help="reflectivity mixing model: parity = the "
+                        "reference's normalized accumulation; subtract = "
+                        "its roadmap model (TerminalRayTracer.c:24-28) "
+                        "where reflectivity subtracts from the object's "
+                        "own color")
     p.add_argument("--pathtrace", action="store_true",
                    help="Monte-Carlo path tracing with a spherical area "
                         "light: soft shadows + diffuse interreflection")
@@ -770,15 +777,25 @@ def main(argv=None) -> int:
     from ttrt.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(quiet=False)
-    cfg = RenderConfig(
-        width=args.width, height=args.height, rays_per_pixel=args.spp,
-        bounce_limit=args.bounces, frame_rate=args.fps, dtype=dtype,
-        skybox_bilinear=args.bilinear, specular=args.specular,
-    )
     # one watchdog over the whole run: armed BEFORE the first jnp array
     # triggers backend init (where a dead remote tunnel blocks silently
     # for minutes); every output path signals first_output()
     try:
+        cfg = RenderConfig(
+            width=args.width, height=args.height, rays_per_pixel=args.spp,
+            bounce_limit=args.bounces, frame_rate=args.fps, dtype=dtype,
+            skybox_bilinear=args.bilinear, specular=args.specular,
+            energy_model=args.energy_model,
+        )
+        if args.pathtrace and cfg.energy_model != "parity":
+            # the path tracer's BRDF already splits diffuse vs mirror
+            # energy by reflectivity; the reflection integrator's mixing
+            # models don't apply to it — refuse loudly rather than
+            # silently ignore the flag (round-3 bug class)
+            raise ConfigError(
+                "--energy-model subtract applies to the reflection "
+                "integrator, not --pathtrace"
+            )
         with StartupWatchdog():
             return _dispatch(args, cfg)
     except (assets.AssetError, ConfigError, SceneFileError) as e:

@@ -55,6 +55,23 @@ class RenderConfig:
     ``skybox_bilinear`` enables bilinear texel filtering — a reference
     roadmap item (TerminalRayTracer.c:23); ``False`` reproduces the
     reference's nearest-neighbor lookup (TerminalRayTracer.c:782-788).
+
+    ``energy_model`` selects the bounce-mixing model:
+      - ``"parity"`` (default): the reference's accumulation — every hit
+        adds its full contribution-weighted shaded color, the bounce
+        weight multiplies by reflectivity, and the pixel is normalized
+        by the accumulated contribution total
+        (TerminalRayTracer.c:1034-1061).
+      - ``"subtract"``: the reference's OWN roadmap model
+        (TerminalRayTracer.c:24-28, "make reflectivity subtract from the
+        color that a ray sees"): a hit's local shading is weighted by
+        (1 - reflectivity) — reflectivity 1.0 shows none of the object's
+        own color, 0.0 shows only it — and the reflected continuation
+        carries the remaining fraction. The weights form a partition of
+        unity along the path (no final normalization); energy left when
+        the bounce limit or the 1e-5 contribution cutoff truncates a
+        path is absorbed (dropped), which is the energy-conserving
+        reading of the TODO.
     """
 
     width: int = 480
@@ -67,6 +84,16 @@ class RenderConfig:
     # Blinn-Phong specular highlights: present in the reference only as
     # commented-out code (TerminalRayTracer.c:913-916, 947-950); off = parity.
     specular: bool = False
+    # reflectivity mixing model: "parity" or "subtract" (latent reference
+    # roadmap item, TerminalRayTracer.c:24-28)
+    energy_model: str = "parity"
+
+    def __post_init__(self):
+        if self.energy_model not in ("parity", "subtract"):
+            raise ConfigError(
+                f"energy_model must be 'parity' or 'subtract', "
+                f"got {self.energy_model!r}"
+            )
 
     @property
     def frame_duration(self) -> float:

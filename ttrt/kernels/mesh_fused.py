@@ -465,7 +465,13 @@ def _fused_kernel(
         upd = alive & hit
         sset(ATOT, sget(ATOT) + jnp.where(alive, acon, 0.0))
         sset(ASKYW, jnp.where(miss_now, acon, sget(ASKYW)))
-        hw = jnp.where(upd, acon, 0.0)
+        if cfg.energy_model == "subtract":
+            # roadmap mixing model (TerminalRayTracer.c:24-28): local
+            # shading weighted by (1 - reflectivity); epilogue skips the
+            # contribution-total normalization
+            hw = jnp.where(upd, acon * (1.0 - brf), 0.0)
+        else:
+            hw = jnp.where(upd, acon, 0.0)
         sset(HW, hw)
         sset(ACON, jnp.where(alive, jnp.where(upd, acon * brf, 0.0), acon))
         cnt_ref[...] = cnt_ref[...] + alive.astype(jnp.int32) + (
@@ -1175,16 +1181,22 @@ def _render_rays_fused(
             skg = ((texel >> 8) & 0xFF).astype(jnp.float32) / c255
             skb = (texel & 0xFF).astype(jnp.float32) / c255
         w = flat(sky_w)
-        total_f = flat(total)
-        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
+        if cfg.energy_model == "subtract":
+            inv_total = 1.0  # subtract-model weights partition unity
+        else:
+            total_f = flat(total)
+            inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
             unpad((flat(pr) + w * skr) * inv_total),
             unpad((flat(pg) + w * skg) * inv_total),
             unpad((flat(pb) + w * skb) * inv_total),
         )
     else:
-        total_f = flat(total)
-        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
+        if cfg.energy_model == "subtract":
+            inv_total = 1.0  # subtract-model weights partition unity
+        else:
+            total_f = flat(total)
+            inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
             unpad(flat(pr) * inv_total),
             unpad(flat(pg) * inv_total),

@@ -681,14 +681,19 @@ def _render_kernel_acc(
         ox, oy, oz, dx, dy, dz, lane_valid,
         sph_vals, plane_vals, dl_vals, pl_vals, cfg.bounce_limit,
         specular=cfg.specular,
+        energy_subtract=cfg.energy_model == "subtract",
     )
 
     sky_eval = (_sky_color_procedural_bilinear if cfg.skybox_bilinear
                 else _sky_color_procedural)
     skr, skg, skb = sky_eval(dx, dy, dz, sky_dim, procedural)
     # finalize THIS sample: (pixel + w*sky) / contribution_total
-    # (guard the padding lanes' total==0; they are sliced off outside)
-    inv_total = 1.0 / jnp.where(total > 0.0, total, 1.0)
+    # (guard the padding lanes' total==0; they are sliced off outside);
+    # the subtract model's weights already partition unity — no divide
+    if cfg.energy_model == "subtract":
+        inv_total = 1.0
+    else:
+        inv_total = 1.0 / jnp.where(total > 0.0, total, 1.0)
     cr = (pr + sky_w * skr) * inv_total
     cg = (pg + sky_w * skg) * inv_total
     cb = (pb + sky_w * skb) * inv_total
@@ -712,7 +717,7 @@ def _render_kernel_acc(
 
 def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
                   dl_vals, pl_vals, bounce_limit: int, shade: bool = True,
-                  specular: bool = False):
+                  specular: bool = False, energy_subtract: bool = False):
     """The fully-unrolled masked bounce loop shared by both kernel
     layouts; returns accumulators + the final (frozen-on-death) direction
     (see _render_kernel for the rationale and semantics notes).
@@ -721,7 +726,14 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
     entirely: the contrib/sky_w/direction chain is unchanged — lighting
     never feeds it — so the returned sky_w/count/d match the shaded chain
     bit-for-bit while costing only the nearest-hit traces. Used by the
-    textured path's dedicated sky-weight kernel."""
+    textured path's dedicated sky-weight kernel.
+
+    ``energy_subtract`` selects the reference's roadmap mixing model
+    (TerminalRayTracer.c:24-28): the hit's local shading is weighted by
+    contribution * (1 - reflectivity) and the caller must skip the
+    contribution-total normalization (the returned ``total`` is
+    unchanged — only the pr/pg/pb weighting differs; sky_w/count/d stay
+    bit-identical to the parity chain)."""
     zero = jnp.zeros_like(dx)
     pr, pg, pb = zero, zero, zero
     contrib = jnp.where(lane_valid, 1.0, 0.0).astype(dx.dtype)
@@ -745,7 +757,10 @@ def _bounce_chain(ox, oy, oz, dx, dy, dz, lane_valid, sph_vals, plane_vals,
                 view=(-dx, -dy, -dz) if specular else None,
                 mspec=hit.spec if specular else None,
             )
-            hw = jnp.where(hit.is_hit, aw, 0.0)
+            if energy_subtract:
+                hw = jnp.where(hit.is_hit, aw * (1.0 - hit.refl), 0.0)
+            else:
+                hw = jnp.where(hit.is_hit, aw, 0.0)
             pr = pr + hw * lr
             pg = pg + hw * lg
             pb = pb + hw * lb
@@ -934,6 +949,7 @@ def _render_kernel(
         ox, oy, oz, dx, dy, dz, lane_valid,
         sph_vals, plane_vals, dl_vals, pl_vals, cfg.bounce_limit,
         specular=cfg.specular,
+        energy_subtract=cfg.energy_model == "subtract",
     )
 
     if procedural is not None:
@@ -1218,8 +1234,11 @@ def _render_rays_pallas(
             skb = skb - face_sel([c[2] for c in _FACE_COLORS01])
 
         w = flat(sky_w)
-        total_f = flat(total)
-        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
+        if cfg.energy_model == "subtract":
+            inv_total = 1.0  # subtract-model weights partition unity
+        else:
+            total_f = flat(total)
+            inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
             ((flat(pr) + w * skr) * inv_total)[:n_rays],
             ((flat(pg) + w * skg) * inv_total)[:n_rays],
@@ -1228,8 +1247,11 @@ def _render_rays_pallas(
     else:
         # procedural skybox: the kernel already folded the sky color in
         pr, pg, pb, total, counts = outs
-        total_f = flat(total)
-        inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
+        if cfg.energy_model == "subtract":
+            inv_total = 1.0  # subtract-model weights partition unity
+        else:
+            total_f = flat(total)
+            inv_total = 1.0 / jnp.where(total_f > 0.0, total_f, 1.0)
         color = Vec3(
             (flat(pr) * inv_total)[:n_rays],
             (flat(pg) * inv_total)[:n_rays],

@@ -155,10 +155,18 @@ def trace_batch(
         sky_dir = s.d.where(miss_now, s.sky_dir)
 
         total = s.total + jnp.where(alive, s.contribution, 0.0)
+        if cfg.energy_model == "subtract":
+            # roadmap model (TerminalRayTracer.c:24-28): local shading is
+            # weighted by (1 - reflectivity); the reflected continuation
+            # carries contribution * reflectivity (below), so path
+            # weights partition unity and no normalization happens.
+            cw = s.contribution * (1.0 - hit.material.reflectivity)
+        else:
+            cw = s.contribution
         pixel = Vec3(
-            s.pixel.x + jnp.where(alive, s.contribution * color.x, 0.0),
-            s.pixel.y + jnp.where(alive, s.contribution * color.y, 0.0),
-            s.pixel.z + jnp.where(alive, s.contribution * color.z, 0.0),
+            s.pixel.x + jnp.where(alive, cw * color.x, 0.0),
+            s.pixel.y + jnp.where(alive, cw * color.y, 0.0),
+            s.pixel.z + jnp.where(alive, cw * color.z, 0.0),
         )
         new_contribution = jnp.where(
             alive,
@@ -219,6 +227,9 @@ def trace_batch(
         final.pixel.z + final.sky_weight * sky.z,
     )
 
+    if cfg.energy_model == "subtract":
+        # path weights already partition unity (truncated energy absorbed)
+        return pixel, final.ray_count
     inv_total = 1.0 / final.total  # total >= 1 (first bounce always counts)
     color = Vec3(
         pixel.x * inv_total, pixel.y * inv_total, pixel.z * inv_total
