@@ -118,6 +118,89 @@ def test_bad_flags_rejected():
     assert r.returncode == 2
 
 
+def _run_mesh(args, timeout=420):
+    """CLI run with a virtual 8-device CPU mesh (the subprocess analog of
+    conftest's XLA_FLAGS; --cpu still switches the backend in-process)."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    return subprocess.run(
+        [sys.executable, "-m", "ttrt", "--cpu", "--no-input", *args],
+        cwd=REPO, env=env, capture_output=True, timeout=timeout,
+    )
+
+
+class TestMeshCLI:
+    """--mesh: the multi-chip renderers are user-reachable from the app
+    (rows shard image bands, samples shard AA rays)."""
+
+    def test_mesh_animation_stream(self):
+        w, h, frames = 24, 16, 2
+        r = _run_mesh([
+            "--mesh", "4x2", "--width", str(w), "--height", str(h),
+            "--spp", "2", "--frames", str(frames), "--skybox", "colors",
+            "--fps", "1000",
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+        _check_stream(r.stdout, frames, w, h)
+
+    def test_mesh_still_matches_single_device(self, tmp_path):
+        """f64 sharded still == unsharded still byte-for-byte (the psum
+        reassociation sits ~1e-16 from the sequential sum; u8
+        quantization absorbs it)."""
+        out_m = str(tmp_path / "mesh.ppm")
+        out_1 = str(tmp_path / "one.ppm")
+        common = ["--f64", "--width", "32", "--height", "16", "--spp", "4",
+                  "--time", "1.0", "--skybox", "colors"]
+        r = _run_mesh(["--mesh", "2x4", "--still", out_m, *common])
+        assert r.returncode == 0, r.stderr[-2000:]
+        r = _run(["--still", out_1, *common])
+        assert r.returncode == 0, r.stderr[-2000:]
+        with open(out_m, "rb") as f:
+            mesh_bytes = f.read()
+        with open(out_1, "rb") as f:
+            one_bytes = f.read()
+        assert mesh_bytes == one_bytes
+
+    def test_mesh_many_scene(self):
+        r = _run_mesh([
+            "--mesh", "4x2", "--scene", "many", "--n-spheres", "64",
+            "--width", "24", "--height", "16", "--spp", "2",
+            "--bounces", "3", "--frames", "2", "--skybox", "colors",
+            "--fps", "1000",
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+        _check_stream(r.stdout, 2, 24, 16)
+
+    def test_mesh_pathtrace(self):
+        r = _run_mesh([
+            "--mesh", "auto", "--pathtrace", "--spp", "8",
+            "--width", "16", "--height", "8", "--frames", "2",
+            "--fps", "1000",
+        ])
+        assert r.returncode == 0, r.stderr[-2000:]
+        _check_stream(r.stdout, 2, 16, 8)
+
+    def test_mesh_bad_shape_one_line_error(self):
+        r = _run_mesh(["--mesh", "3x2", "--frames", "1"])
+        assert r.returncode == 1
+        assert b"needs 6 devices" in r.stderr
+
+    def test_mesh_indivisible_height_one_line_error(self):
+        r = _run_mesh(["--mesh", "8x1", "--height", "10", "--width", "16",
+                       "--spp", "1", "--frames", "1"])
+        assert r.returncode == 1
+        assert b"not divisible" in r.stderr
+
+    def test_mesh_physics_refused(self):
+        r = _run_mesh(["--mesh", "auto", "--scene", "physics",
+                       "--frames", "1"])
+        assert r.returncode == 1
+        assert b"--mesh does not apply" in r.stderr
+
+
 def test_energy_model_subtract_still(tmp_path):
     """--energy-model subtract (the reference's roadmap reflectivity
     model, TerminalRayTracer.c:24-28) renders and visibly differs from

@@ -53,7 +53,8 @@ def default_area_lights(cfg: RenderConfig):
 
 
 def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
-                               encode: str = "device", seed: int = 0):
+                               encode: str = "device", seed: int = 0,
+                               mesh=None):
     """jit: (t, cam_offset) -> frame bytes via the Monte-Carlo integrator;
     each frame draws an independent RNG stream from the frame index.
 
@@ -67,6 +68,33 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
 
     enc = encode_ansi_frame if encode == "device" else encode_rgb_frame
     lights = default_area_lights(cfg)
+
+    if mesh is not None:
+        # multi-chip path tracing: every device renders the full image at
+        # spp/n_devices with an independently folded key; one psum
+        # combines the radiance sums (ttrt.parallel.sharding)
+        from ttrt.parallel.sharding import pathtrace_frame_sharded
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if cfg.rays_per_pixel % n_dev:
+            raise ConfigError(
+                f"--pathtrace --mesh: --spp {cfg.rays_per_pixel} not "
+                f"divisible by {n_dev} devices"
+            )
+        base_key = jax.random.PRNGKey(seed)
+
+        @jax.jit
+        def frame_step(t, cam_offset):
+            frame = orbit_camera_frame(t, cfg.dtype)
+            frame = frame._replace(origin=frame.origin + cam_offset)
+            s = scene.with_camera_frame(frame)
+            key = jax.random.fold_in(
+                base_key, (t * 1000.0).astype(jnp.int32)
+            )
+            fb = pathtrace_frame_sharded(s, lights, cfg, key, mesh)
+            return enc(fb)
+
+        return frame_step
 
     use_kernel = (
         cfg.dtype == jnp.float32
@@ -160,8 +188,50 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
     return render_frame
 
 
+def _pick_renderer_sharded(scene, cfg: RenderConfig, mesh, renderer="auto"):
+    """Multi-chip analog of _pick_renderer: returns a (scene, cfg) ->
+    (fb, rays) closure over the ('rows', 'samples') mesh. Same routing
+    rules — the band-capable Pallas kernels when they serve the config
+    (each chip launches one kernel on its row band x sample slice), else
+    the shard_map'd XLA integrator (which also serves MeshScene and f64
+    on CPU meshes)."""
+    import functools
+
+    from ttrt.mesh.scene import MeshScene
+    from ttrt.parallel.sharding import (
+        check_mesh_divisible,
+        render_frame_sharded,
+        render_frame_sharded_mesh_fused,
+        render_frame_sharded_pallas,
+    )
+
+    check_mesh_divisible(cfg, mesh)
+    if renderer == "xla":
+        return functools.partial(render_frame_sharded, mesh=mesh)
+    base_ok = (
+        cfg.dtype == jnp.float32
+        and cfg.bounce_limit <= 16
+        and jax.default_backend() != "cpu"
+    )
+    sky_dim_ok = (
+        scene.skybox.procedural is not None
+        or 6 * scene.skybox.dim * scene.skybox.dim <= (2**31 - 1) >> 10
+    )
+    if base_ok and sky_dim_ok and type(scene) is Scene:
+        return functools.partial(render_frame_sharded_pallas, mesh=mesh)
+    if base_ok and sky_dim_ok and (
+        isinstance(scene, MeshScene) and scene.clusters is not None
+    ):
+        return functools.partial(
+            render_frame_sharded_mesh_fused, mesh=mesh
+        )
+    if renderer == "pallas":
+        raise ConfigError("pallas renderer unavailable for this config")
+    return functools.partial(render_frame_sharded, mesh=mesh)
+
+
 def build_frame_step(scene: Scene, cfg: RenderConfig, encode: str = "device",
-                     renderer: str = "auto"):
+                     renderer: str = "auto", mesh=None):
     """jit-compile t -> frame bytes. ``cam_offset`` is a world-frame camera
     translation driven by arrow keys (extension; reference stub at
     TerminalRayTracer.c:1196-1215).
@@ -169,11 +239,18 @@ def build_frame_step(scene: Scene, cfg: RenderConfig, encode: str = "device",
     ``encode``: 'device' emits the full ANSI escape buffer from the TPU
     (one big uint8 copy); 'host' emits the compact (H, W, 3) uint8 frame —
     ~8.6x less host<->device traffic — and the host expands it with the
-    native C template-patching encoder (csrc/ttrt_native.c)."""
+    native C template-patching encoder (csrc/ttrt_native.c).
+
+    ``mesh``: a ('rows', 'samples') jax.sharding.Mesh routes the frame
+    through the multi-chip renderers (--mesh); the ANSI encode stays
+    row-local per chip and the bytes gather on the host fetch."""
     from ttrt.term.encoder import encode_rgb_frame
 
     enc = encode_ansi_frame if encode == "device" else encode_rgb_frame
-    render = _pick_renderer(scene, cfg, renderer)
+    if mesh is not None:
+        render = _pick_renderer_sharded(scene, cfg, mesh, renderer)
+    else:
+        render = _pick_renderer(scene, cfg, renderer)
 
     @jax.jit
     def frame_step(t, cam_offset):
@@ -395,7 +472,8 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
                   seed: int = 0,
                   renderer: str = "auto",
                   batch: int = 0,
-                  warm_start: bool = True) -> float:
+                  warm_start: bool = True,
+                  mesh_spec: str | None = None) -> float:
     """The reference's infinite frame loop (TerminalRayTracer.c:1315-1366):
     render, draw, pace to the frame budget, print fps. Returns the last
     measured fps.
@@ -417,6 +495,15 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
     if scene is None:
         skybox = assets.load_skybox(skybox_name, cfg.dtype)
         scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
+    mesh = None
+    if mesh_spec:
+        from ttrt.parallel.sharding import mesh_from_spec
+
+        mesh = mesh_from_spec(mesh_spec)
+        if batch > 1:
+            log("--mesh: forcing --batch 1 (the batched fetch loop is "
+                "single-device-program; pipelining still applies)")
+        batch = 1  # the sharded step is one program over the whole mesh
     if batch == 0:
         # auto: batch fetches when frames cross a high-latency device link
         # (remote-attached TPU); on CPU the copy is free and batching only
@@ -430,9 +517,11 @@ def run_animation(cfg: RenderConfig, skybox_name: str = "colors",
             pipeline, warm_start,
         )
     if pathtrace:
-        frame_step = build_pathtrace_frame_step(scene, cfg, encode, seed)
+        frame_step = build_pathtrace_frame_step(scene, cfg, encode, seed,
+                                                mesh=mesh)
     else:
-        frame_step = build_frame_step(scene, cfg, encode, renderer)
+        frame_step = build_frame_step(scene, cfg, encode, renderer,
+                                      mesh=mesh)
     host_enc = None
     if encode == "host" and native.available:
         host_enc = native.NativeAnsiEncoder(cfg.height, cfg.width)
@@ -609,10 +698,13 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
                  out_path: str, n_bands: int | None = None,
                  pathtrace: bool = False, seed: int = 0,
                  scene: Scene | None = None,
-                 renderer: str = "auto") -> None:
+                 renderer: str = "auto",
+                 mesh_spec: str | None = None) -> None:
     """High-res still tier (BASELINE config 2): render one frame at time t
     and write a PPM. Large frames render in horizontal bands
-    (render_frame_tiled) so ray-state memory stays bounded."""
+    (render_frame_tiled) so ray-state memory stays bounded. A --mesh spec
+    renders the frame over the device mesh instead (row bands ARE the
+    memory bound there, so host-side banding is skipped)."""
     from ttrt.render.integrator import render_frame_tiled
     from ttrt.term.encoder import encode_rgb_frame
 
@@ -620,7 +712,26 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         skybox = assets.load_skybox(skybox_name, cfg.dtype)
         scene = demo_scene(skybox, cfg.width, cfg.height, cfg.dtype)
 
-    render = None if pathtrace else _pick_renderer(scene, cfg, renderer)
+    mesh = None
+    if mesh_spec:
+        from ttrt.parallel.sharding import mesh_from_spec
+
+        mesh = mesh_from_spec(mesh_spec)
+
+    if mesh is not None and pathtrace:
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        if cfg.rays_per_pixel % n_dev:
+            raise ConfigError(
+                f"--pathtrace --mesh: --spp {cfg.rays_per_pixel} not "
+                f"divisible by {n_dev} devices"
+            )
+        render = None
+        n_bands = 1
+    elif mesh is not None:
+        render = _pick_renderer_sharded(scene, cfg, mesh, renderer)
+        n_bands = 1
+    else:
+        render = None if pathtrace else _pick_renderer(scene, cfg, renderer)
     use_pallas = render is not None and render is not render_frame
     if n_bands is None:
         # auto: band whenever the frame exceeds ~2M rays. The Pallas path
@@ -642,7 +753,14 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
             lambda a: a.astype(cfg.dtype), orbit_camera_frame(tt, cfg.dtype)
         )
         s = s.with_camera_frame(frame)
-        if pathtrace:
+        if pathtrace and mesh is not None:
+            from ttrt.parallel.sharding import pathtrace_frame_sharded
+
+            fb = pathtrace_frame_sharded(
+                s, default_area_lights(cfg), cfg,
+                jax.random.PRNGKey(seed), mesh,
+            )
+        elif pathtrace:
             from ttrt.render.pathtrace import pathtrace_frame
 
             fb = pathtrace_frame(
@@ -714,6 +832,12 @@ def main(argv=None) -> int:
                    help="render path: the Pallas TPU kernel or the "
                         "fused-XLA integrator (auto picks pallas when "
                         "supported)")
+    p.add_argument("--mesh", metavar="ROWSxSAMPLES", default=None,
+                   help="render over a multi-chip ('rows','samples') "
+                        "device mesh: 'auto' (all devices on the rows "
+                        "axis) or an explicit shape like 4x2 that tiles "
+                        "the device count; rows shard image bands, "
+                        "samples shard AA rays (one psum per frame)")
     p.add_argument("--no-warm-start", action="store_true",
                    help="disable the shallow-bounce warm-start: wait for "
                         "the full-depth kernel compile before the first "
@@ -841,13 +965,18 @@ def _dispatch(args, cfg: RenderConfig) -> int:
             skybox, n_spheres=args.n_spheres,
             width_px=cfg.width, height_px=cfg.height, dtype=cfg.dtype,
         )
+    if args.mesh and args.scene == "physics":
+        raise ConfigError(
+            "--mesh does not apply to --scene physics (the physics step "
+            "is a single-device program; rendering tiers shard)"
+        )
     if args.still:
         # scene (file or many-object) honored: --still --scene many
         # previously fell through to the demo scene silently
         render_still(cfg, args.skybox, args.time, args.still,
                      n_bands=args.bands, pathtrace=args.pathtrace,
                      seed=args.seed, scene=scene,
-                     renderer=args.renderer)
+                     renderer=args.renderer, mesh_spec=args.mesh)
         return 0
     if args.scene == "physics":
         run_physics(cfg, args.skybox, args.frames,
@@ -860,7 +989,8 @@ def _dispatch(args, cfg: RenderConfig) -> int:
                   stats=args.stats, pipeline=args.pipeline,
                   pathtrace=args.pathtrace, seed=args.seed,
                   renderer=args.renderer, batch=args.batch,
-                  warm_start=not args.no_warm_start)
+                  warm_start=not args.no_warm_start,
+                  mesh_spec=args.mesh)
     return 0
 
 

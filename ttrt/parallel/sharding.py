@@ -56,6 +56,45 @@ def make_mesh(
     return Mesh(dev_grid, ("rows", "samples"))
 
 
+def mesh_from_spec(spec: str) -> Mesh:
+    """CLI mesh spec -> ('rows', 'samples') Mesh. ``"auto"`` uses every
+    available device on the rows axis; ``"RxS"`` (e.g. ``4x2``) asks for
+    an explicit shape and must tile the device count exactly. User
+    errors raise ConfigError (one-line CLI message, no traceback)."""
+    from ttrt.config import ConfigError
+
+    devices = jax.devices()
+    if spec == "auto":
+        return make_mesh(len(devices), 1, devices)
+    parts = spec.lower().split("x")
+    try:
+        n_rows, n_samples = (int(q) for q in parts)
+        if n_rows < 1 or n_samples < 1:
+            raise ValueError
+    except ValueError:
+        raise ConfigError(
+            f"--mesh expects 'auto' or ROWSxSAMPLES (e.g. 4x2), "
+            f"got {spec!r}"
+        ) from None
+    if n_rows * n_samples != len(devices):
+        raise ConfigError(
+            f"--mesh {n_rows}x{n_samples} needs {n_rows * n_samples} "
+            f"devices but {len(devices)} are available"
+        )
+    return make_mesh(n_rows, n_samples, devices)
+
+
+def check_mesh_divisible(cfg: RenderConfig, mesh: Mesh) -> None:
+    """CLI-facing divisibility check: ConfigError instead of the
+    trace-time ValueError from _check_divisible."""
+    from ttrt.config import ConfigError
+
+    try:
+        _check_divisible(cfg, mesh)
+    except ValueError as e:
+        raise ConfigError(str(e)) from None
+
+
 def _check_divisible(cfg: RenderConfig, mesh: Mesh) -> None:
     n_rows = mesh.shape["rows"]
     n_samp = mesh.shape["samples"]
