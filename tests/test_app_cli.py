@@ -200,6 +200,33 @@ class TestMeshCLI:
         assert r.returncode == 1
         assert b"--mesh does not apply" in r.stderr
 
+    @pytest.mark.slow
+    def test_mesh_objects_axis_animation(self):
+        """--mesh 2x2x2: the composed rows x samples x objects mesh —
+        geometry sharded over Morton subcluster slices, combined with
+        the per-trace pmin (interpret-mode cluster kernel on the CPU
+        mesh, hence slow)."""
+        w, h, frames = 16, 8, 2
+        r = _run_mesh([
+            "--mesh", "2x2x2", "--scene", "many", "--n-spheres", "64",
+            "--width", str(w), "--height", str(h), "--spp", "2",
+            "--bounces", "2", "--frames", str(frames),
+            "--skybox", "colors", "--fps", "1000",
+        ], timeout=560)
+        assert r.returncode == 0, r.stderr[-2000:]
+        _check_stream(r.stdout, frames, w, h)
+
+    def test_mesh_objects_axis_needs_many_scene(self):
+        r = _run_mesh(["--mesh", "2x2x2", "--frames", "1"])
+        assert r.returncode == 1
+        assert b"objects factor" in r.stderr
+
+    def test_mesh_objects_axis_refused_for_pathtrace(self):
+        r = _run_mesh(["--mesh", "2x2x2", "--pathtrace", "--spp", "8",
+                       "--frames", "1"])
+        assert r.returncode == 1
+        assert b"shards samples, not geometry" in r.stderr
+
 
 def test_energy_model_subtract_still(tmp_path):
     """--energy-model subtract (the reference's roadmap reflectivity

@@ -75,6 +75,11 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
         # combines the radiance sums (ttrt.parallel.sharding)
         from ttrt.parallel.sharding import pathtrace_frame_sharded
 
+        if "objects" in mesh.axis_names:
+            raise ConfigError(
+                "--pathtrace shards samples, not geometry: use a "
+                "ROWSxSAMPLES --mesh (no objects factor)"
+            )
         n_dev = int(np.prod(list(mesh.shape.values())))
         if cfg.rays_per_pixel % n_dev:
             raise ConfigError(
@@ -206,6 +211,19 @@ def _pick_renderer_sharded(scene, cfg: RenderConfig, mesh, renderer="auto"):
     )
 
     check_mesh_divisible(cfg, mesh)
+    if "objects" in mesh.axis_names:
+        # geometry parallelism (--mesh RxSxO): each chip sweeps its
+        # Morton subcluster slice; pmin argmin-by-t combines winners
+        # per trace (ttrt.parallel.objects). Needs a cluster pack.
+        from ttrt.parallel.objects import render_frame_sharded_objects
+
+        if not (isinstance(scene, MeshScene)
+                and scene.clusters is not None):
+            raise ConfigError(
+                "--mesh with an objects factor needs a cluster-packed "
+                "many-object scene (--scene many)"
+            )
+        return functools.partial(render_frame_sharded_objects, mesh=mesh)
     if renderer == "xla":
         return functools.partial(render_frame_sharded, mesh=mesh)
     base_ok = (
@@ -719,6 +737,11 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         mesh = mesh_from_spec(mesh_spec)
 
     if mesh is not None and pathtrace:
+        if "objects" in mesh.axis_names:
+            raise ConfigError(
+                "--pathtrace shards samples, not geometry: use a "
+                "ROWSxSAMPLES --mesh (no objects factor)"
+            )
         n_dev = int(np.prod(list(mesh.shape.values())))
         if cfg.rays_per_pixel % n_dev:
             raise ConfigError(

@@ -57,10 +57,13 @@ def make_mesh(
 
 
 def mesh_from_spec(spec: str) -> Mesh:
-    """CLI mesh spec -> ('rows', 'samples') Mesh. ``"auto"`` uses every
-    available device on the rows axis; ``"RxS"`` (e.g. ``4x2``) asks for
-    an explicit shape and must tile the device count exactly. User
-    errors raise ConfigError (one-line CLI message, no traceback)."""
+    """CLI mesh spec -> device Mesh. ``"auto"`` uses every available
+    device on the rows axis; ``"RxS"`` (e.g. ``4x2``) builds the
+    ('rows', 'samples') ray mesh; ``"RxSxO"`` (e.g. ``2x2x2``) adds the
+    'objects' geometry axis (many-object scenes only — each chip traces
+    against its Morton subcluster slice, ttrt.parallel.objects). The
+    shape must tile the device count exactly. User errors raise
+    ConfigError (one-line CLI message, no traceback)."""
     from ttrt.config import ConfigError
 
     devices = jax.devices()
@@ -68,20 +71,26 @@ def mesh_from_spec(spec: str) -> Mesh:
         return make_mesh(len(devices), 1, devices)
     parts = spec.lower().split("x")
     try:
-        n_rows, n_samples = (int(q) for q in parts)
-        if n_rows < 1 or n_samples < 1:
+        if len(parts) not in (2, 3):
+            raise ValueError
+        factors = [int(q) for q in parts]
+        if any(f < 1 for f in factors):
             raise ValueError
     except ValueError:
         raise ConfigError(
-            f"--mesh expects 'auto' or ROWSxSAMPLES (e.g. 4x2), "
-            f"got {spec!r}"
+            f"--mesh expects 'auto', ROWSxSAMPLES (e.g. 4x2) or "
+            f"ROWSxSAMPLESxOBJECTS (e.g. 2x2x2), got {spec!r}"
         ) from None
-    if n_rows * n_samples != len(devices):
+    n_total = math.prod(factors)
+    if n_total != len(devices):
         raise ConfigError(
-            f"--mesh {n_rows}x{n_samples} needs {n_rows * n_samples} "
-            f"devices but {len(devices)} are available"
+            f"--mesh {spec} needs {n_total} devices but "
+            f"{len(devices)} are available"
         )
-    return make_mesh(n_rows, n_samples, devices)
+    if len(parts) == 2:
+        return make_mesh(factors[0], factors[1], devices)
+    dev_grid = np.asarray(devices).reshape(*factors)
+    return Mesh(dev_grid, ("rows", "samples", "objects"))
 
 
 def check_mesh_divisible(cfg: RenderConfig, mesh: Mesh) -> None:
