@@ -147,9 +147,10 @@ class TestMeshCLI:
         _check_stream(r.stdout, frames, w, h)
 
     def test_mesh_still_matches_single_device(self, tmp_path):
-        """f64 sharded still == unsharded still byte-for-byte (the psum
-        reassociation sits ~1e-16 from the sequential sum; u8
-        quantization absorbs it)."""
+        """f64 sharded still == unsharded still to <= 1 u8 LSB per
+        channel (the psum reassociates the sample sum ~1e-16 from the
+        sequential order, so a pixel sitting exactly on a truncation
+        boundary may flip one step; observed byte-identical today)."""
         out_m = str(tmp_path / "mesh.ppm")
         out_1 = str(tmp_path / "one.ppm")
         common = ["--f64", "--width", "32", "--height", "16", "--spp", "4",
@@ -158,11 +159,16 @@ class TestMeshCLI:
         assert r.returncode == 0, r.stderr[-2000:]
         r = _run(["--still", out_1, *common])
         assert r.returncode == 0, r.stderr[-2000:]
-        with open(out_m, "rb") as f:
-            mesh_bytes = f.read()
-        with open(out_1, "rb") as f:
-            one_bytes = f.read()
-        assert mesh_bytes == one_bytes
+
+        def pixels(path):
+            with open(path, "rb") as f:
+                assert f.readline().strip() == b"P6"
+                assert f.readline().strip() == b"32 16"
+                assert f.readline().strip() == b"255"
+                return np.frombuffer(f.read(), np.uint8).astype(np.int32)
+
+        diff = np.abs(pixels(out_m) - pixels(out_1))
+        assert diff.max() <= 1, f"max channel diff {diff.max()}"
 
     def test_mesh_many_scene(self):
         r = _run_mesh([
@@ -341,6 +347,53 @@ class TestRendererRouting:
         import ttrt.app as app
 
         monkeypatch.setattr(app.jax, "default_backend", lambda: "tpu")
+
+    def test_sharded_picker_matches_unsharded_routing(self, tpu_backend):
+        """_pick_renderer_sharded must route by the SAME gates as
+        _pick_renderer (shared _kernel_gates): demo scene -> band
+        Pallas kernel, cluster-packed MeshScene -> fused kernel."""
+        from ttrt.app import _pick_renderer_sharded
+        from ttrt.parallel.sharding import (
+            make_mesh,
+            render_frame_sharded_mesh_fused,
+            render_frame_sharded_pallas,
+        )
+
+        mesh = make_mesh(4, 2)
+        cfg = self._cfg()
+        picked = _pick_renderer_sharded(self._demo_scene(), cfg, mesh)
+        assert picked.func is render_frame_sharded_pallas
+        picked = _pick_renderer_sharded(self._mesh_scene(), cfg, mesh)
+        assert picked.func is render_frame_sharded_mesh_fused
+
+    def test_pathtrace_mesh_routes_to_sharded_kernel(self, tpu_backend,
+                                                     monkeypatch):
+        """--pathtrace --mesh must keep the single-chip kernel routing:
+        the per-device estimator is the counter-RNG Pallas sampler when
+        eligible, not a silent demotion to the XLA estimator (review
+        finding, 2026-08-18)."""
+        import ttrt.parallel.sharding as shd
+        from ttrt.app import build_pathtrace_frame_step
+        from ttrt.parallel.sharding import make_mesh
+        from ttrt.vec import Vec3
+        import jax.numpy as jnp
+        import numpy as np
+
+        calls = []
+
+        def stub(scene, lights, cfg, fseed, mesh, **kw):
+            calls.append(mesh)
+            z = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+            return Vec3(z, z, z)
+
+        monkeypatch.setattr(shd, "pathtrace_frame_sharded_pallas", stub)
+        mesh = make_mesh(4, 2)
+        cfg = self._cfg().with_(rays_per_pixel=8)
+        step = build_pathtrace_frame_step(self._demo_scene(), cfg,
+                                          encode="host", mesh=mesh)
+        out = step(jnp.float32(0.1), jnp.zeros(3, jnp.float32))
+        assert calls, "sharded Pallas pathtrace sampler was not routed to"
+        assert np.asarray(out).shape[0] == cfg.height
 
     def test_demo_scene_routes_to_pallas(self, tpu_backend):
         from ttrt.app import _pick_renderer

@@ -198,6 +198,42 @@ class TestShardedPathtrace:
         assert a.min() >= 0.0 and a.max() <= 1.0
         assert a.std() > 0.01  # an actual image, not a constant
 
+    @pytest.mark.slow
+    def test_pathtrace_sharded_pallas_runs_and_is_sane(self):
+        """The counter-RNG Pallas sampler as each device's estimator
+        (interpret mode on the CPU mesh): every device renders the full
+        image at spp/8 with a hashed-index seed; unclipped sums psum-
+        combine. Slow: interpret XLA:CPU compile."""
+        import numpy as np
+        from ttrt.parallel.sharding import (
+            make_mesh,
+            pathtrace_frame_sharded_pallas,
+        )
+        from ttrt.render.pathtrace import AreaLights
+
+        f32 = jnp.float32
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=8,
+                           bounce_limit=2, dtype=f32)
+        sky = skybox_from_faces(make_colors_skybox(8), f32,
+                                procedural="colors")
+        scene = demo_scene(sky, cfg.width, cfg.height, f32)
+        scene = scene.with_camera_frame(orbit_camera_frame(1.0, f32))
+        lights = AreaLights.create(
+            positions=[[0.0, 3.0, 0.0]], radii=[0.5],
+            colors=[[1.0, 1.0, 1.0]], intensities=[10.0], dtype=f32,
+        )
+        mesh = make_mesh(4, 2)
+        fb = jax.jit(
+            lambda s: pathtrace_frame_sharded_pallas(
+                s, lights, cfg, 7, mesh, interpret=True
+            )
+        )(scene)
+        a = np.asarray(fb.to_array())
+        assert a.shape == (cfg.height, cfg.width, 3)
+        assert np.isfinite(a).all()
+        assert a.min() >= 0.0 and a.max() <= 1.0
+        assert a.std() > 0.01
+
     def test_pathtrace_indivisible_spp_rejected(self):
         from ttrt.parallel.sharding import (
             make_mesh,

@@ -69,23 +69,46 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
     enc = encode_ansi_frame if encode == "device" else encode_rgb_frame
     lights = default_area_lights(cfg)
 
+    use_kernel = (
+        cfg.dtype == jnp.float32
+        and scene.skybox.procedural is not None
+        and cfg.bounce_limit <= 10
+        and lights.count <= 10
+        and type(scene) is Scene
+        and jax.default_backend() != "cpu"
+    )
     if mesh is not None:
         # multi-chip path tracing: every device renders the full image at
-        # spp/n_devices with an independently folded key; one psum
-        # combines the radiance sums (ttrt.parallel.sharding)
-        from ttrt.parallel.sharding import pathtrace_frame_sharded
+        # spp/n_devices with independently hashed/folded streams; one
+        # psum combines the radiance sums (ttrt.parallel.sharding). The
+        # per-device estimator keeps the single-chip kernel routing: the
+        # counter-RNG Pallas sampler when eligible, else XLA.
+        from ttrt.parallel.sharding import (
+            check_pathtrace_mesh,
+            pathtrace_frame_sharded,
+            pathtrace_frame_sharded_pallas,
+        )
 
-        if "objects" in mesh.axis_names:
-            raise ConfigError(
-                "--pathtrace shards samples, not geometry: use a "
-                "ROWSxSAMPLES --mesh (no objects factor)"
-            )
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        if cfg.rays_per_pixel % n_dev:
-            raise ConfigError(
-                f"--pathtrace --mesh: --spp {cfg.rays_per_pixel} not "
-                f"divisible by {n_dev} devices"
-            )
+        check_pathtrace_mesh(cfg, mesh)
+        if use_kernel:
+            from ttrt.kernels.pathtrace_pallas import _mix32
+
+            @jax.jit
+            def frame_step(t, cam_offset):
+                frame = orbit_camera_frame(t, cfg.dtype)
+                frame = frame._replace(origin=frame.origin + cam_offset)
+                s = scene.with_camera_frame(frame)
+                tq = (t * 1000.0).astype(jnp.int32).astype(jnp.uint32)
+                fseed = (
+                    _mix32(jnp.uint32(seed) * jnp.uint32(0x9E3779B9)) ^ tq
+                ).astype(jnp.int32)
+                fb = pathtrace_frame_sharded_pallas(
+                    s, lights, cfg, fseed, mesh
+                )
+                return enc(fb)
+
+            return frame_step
+
         base_key = jax.random.PRNGKey(seed)
 
         @jax.jit
@@ -101,14 +124,6 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
 
         return frame_step
 
-    use_kernel = (
-        cfg.dtype == jnp.float32
-        and scene.skybox.procedural is not None
-        and cfg.bounce_limit <= 10
-        and lights.count <= 10
-        and type(scene) is Scene
-        and jax.default_backend() != "cpu"
-    )
     if use_kernel:
         from ttrt.kernels.pathtrace_pallas import pathtrace_frame_pallas
 
@@ -151,6 +166,26 @@ def build_pathtrace_frame_step(scene: Scene, cfg: RenderConfig,
     return frame_step
 
 
+def _kernel_gates(scene, cfg: RenderConfig) -> bool:
+    """Pallas-kernel eligibility shared by the single-chip and sharded
+    pickers (they MUST agree — a gate added to only one silently routes
+    sharded and unsharded renders to different paths, the round-3
+    self-review bug class): f32, bounce_limit <= 16, a real accelerator
+    backend, and a sky the kernels can carry — procedural, or an image
+    cubemap small enough for the counter-stream texel-index bound
+    (6*dim^2 <= (2^31-1)>>10, i.e. dim <= 591)."""
+    base_ok = (
+        cfg.dtype == jnp.float32
+        and cfg.bounce_limit <= 16
+        and jax.default_backend() != "cpu"
+    )
+    sky_dim_ok = (
+        scene.skybox.procedural is not None
+        or 6 * scene.skybox.dim * scene.skybox.dim <= (2**31 - 1) >> 10
+    )
+    return base_ok and sky_dim_ok
+
+
 def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
     """Select the render path: the demo-tier Pallas kernel or the fused
     mesh Pallas kernel when they support the config (f32, in-kernel
@@ -162,23 +197,14 @@ def _pick_renderer(scene, cfg: RenderConfig, renderer: str = "auto"):
 
     if renderer == "xla":
         return render_frame
-    base_ok = (
-        cfg.dtype == jnp.float32
-        and cfg.bounce_limit <= 16
-        and jax.default_backend() != "cpu"
-    )
-    sky_dim_ok = (
-        scene.skybox.procedural is not None
-        or 6 * scene.skybox.dim * scene.skybox.dim <= (2**31 - 1) >> 10
-    )  # the kernels' counter-stream texel-index bound (dim <= 591)
-    if base_ok and sky_dim_ok and type(scene) is Scene:
+    if _kernel_gates(scene, cfg) and type(scene) is Scene:
         # the demo kernel serves specular in-kernel and bilinear for
         # both sky kinds (procedural in-kernel, image cubemaps via the
         # deferred 4-tap epilogue)
         from ttrt.kernels.render_pallas import render_frame_pallas
 
         return render_frame_pallas
-    if base_ok and sky_dim_ok and (
+    if _kernel_gates(scene, cfg) and (
         isinstance(scene, MeshScene) and scene.clusters is not None
     ):
         # many-object tier: the monolithic fused kernel (one pallas_call
@@ -226,18 +252,9 @@ def _pick_renderer_sharded(scene, cfg: RenderConfig, mesh, renderer="auto"):
         return functools.partial(render_frame_sharded_objects, mesh=mesh)
     if renderer == "xla":
         return functools.partial(render_frame_sharded, mesh=mesh)
-    base_ok = (
-        cfg.dtype == jnp.float32
-        and cfg.bounce_limit <= 16
-        and jax.default_backend() != "cpu"
-    )
-    sky_dim_ok = (
-        scene.skybox.procedural is not None
-        or 6 * scene.skybox.dim * scene.skybox.dim <= (2**31 - 1) >> 10
-    )
-    if base_ok and sky_dim_ok and type(scene) is Scene:
+    if _kernel_gates(scene, cfg) and type(scene) is Scene:
         return functools.partial(render_frame_sharded_pallas, mesh=mesh)
-    if base_ok and sky_dim_ok and (
+    if _kernel_gates(scene, cfg) and (
         isinstance(scene, MeshScene) and scene.clusters is not None
     ):
         return functools.partial(
@@ -735,19 +752,18 @@ def render_still(cfg: RenderConfig, skybox_name: str, t: float,
         from ttrt.parallel.sharding import mesh_from_spec
 
         mesh = mesh_from_spec(mesh_spec)
+        if n_bands is not None and n_bands != 1:
+            # a mesh still is memory-bounded by its row bands already;
+            # refuse rather than silently ignore the explicit flag
+            raise ConfigError(
+                "--bands does not compose with --mesh (the mesh's row "
+                "axis already bands the frame)"
+            )
 
     if mesh is not None and pathtrace:
-        if "objects" in mesh.axis_names:
-            raise ConfigError(
-                "--pathtrace shards samples, not geometry: use a "
-                "ROWSxSAMPLES --mesh (no objects factor)"
-            )
-        n_dev = int(np.prod(list(mesh.shape.values())))
-        if cfg.rays_per_pixel % n_dev:
-            raise ConfigError(
-                f"--pathtrace --mesh: --spp {cfg.rays_per_pixel} not "
-                f"divisible by {n_dev} devices"
-            )
+        from ttrt.parallel.sharding import check_pathtrace_mesh
+
+        check_pathtrace_mesh(cfg, mesh)
         render = None
         n_bands = 1
     elif mesh is not None:
@@ -855,12 +871,14 @@ def main(argv=None) -> int:
                    help="render path: the Pallas TPU kernel or the "
                         "fused-XLA integrator (auto picks pallas when "
                         "supported)")
-    p.add_argument("--mesh", metavar="ROWSxSAMPLES", default=None,
-                   help="render over a multi-chip ('rows','samples') "
-                        "device mesh: 'auto' (all devices on the rows "
-                        "axis) or an explicit shape like 4x2 that tiles "
-                        "the device count; rows shard image bands, "
-                        "samples shard AA rays (one psum per frame)")
+    p.add_argument("--mesh", metavar="RxS[xO]", default=None,
+                   help="render over a multi-chip device mesh: 'auto' "
+                        "(all devices on the rows axis), ROWSxSAMPLES "
+                        "(e.g. 4x2 — rows shard image bands, samples "
+                        "shard AA rays, one psum per frame), or "
+                        "ROWSxSAMPLESxOBJECTS (e.g. 2x2x2 — adds the "
+                        "geometry axis for cluster-packed --scene many); "
+                        "the shape must tile the device count")
     p.add_argument("--no-warm-start", action="store_true",
                    help="disable the shallow-bounce warm-start: wait for "
                         "the full-depth kernel compile before the first "

@@ -202,6 +202,73 @@ def make_sharded_frame_fn(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     return frame
 
 
+def check_pathtrace_mesh(cfg: RenderConfig, mesh: Mesh) -> None:
+    """CLI-facing validation for --pathtrace --mesh: the path tracer
+    shards samples (no geometry axis) and needs an even spp split."""
+    from ttrt.config import ConfigError
+
+    if "objects" in mesh.axis_names:
+        raise ConfigError(
+            "--pathtrace shards samples, not geometry: use a "
+            "ROWSxSAMPLES --mesh (no objects factor)"
+        )
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if cfg.rays_per_pixel % n_dev:
+        raise ConfigError(
+            f"--pathtrace --mesh: --spp {cfg.rays_per_pixel} not "
+            f"divisible by {n_dev} devices"
+        )
+
+
+def pathtrace_frame_sharded_pallas(
+    scene, lights, cfg: RenderConfig, fseed, mesh: Mesh, *,
+    interpret: bool = False,
+) -> Vec3:
+    """pathtrace_frame_sharded with the counter-RNG Pallas sampler as
+    each device's estimator (same contract: every device renders the
+    full image at spp/n_devices, unclipped radiance sums psum-combine,
+    one global divide + clip). ``fseed`` is the int32 frame seed; each
+    device hashes in its flattened mesh index so streams decorrelate
+    exactly as the kernel's purpose-stream tests pin."""
+    from ttrt.kernels.pathtrace_pallas import _mix32, pathtrace_frame_pallas
+
+    n = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    if cfg.rays_per_pixel % n:
+        raise ValueError(
+            f"rays_per_pixel {cfg.rays_per_pixel} not divisible by "
+            f"{n} devices"
+        )
+    cfg_loc = cfg.with_(rays_per_pixel=cfg.rays_per_pixel // n)
+    inv_n = 1.0 / cfg.rays_per_pixel
+    axes = tuple(mesh.axis_names)
+
+    @jax.shard_map(
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    def body(scene_rep, fs):
+        idx = jax.lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        dev_seed = (
+            _mix32((idx + 1).astype(jnp.uint32) * jnp.uint32(0x9E3779B9))
+            ^ fs.astype(jnp.uint32)
+        ).astype(jnp.int32)
+        fb = pathtrace_frame_pallas(
+            scene_rep, lights, cfg_loc, dev_seed, reduce="sum",
+            interpret=interpret,
+        )
+        return Vec3(
+            jnp.clip(jax.lax.psum(fb.x, axes) * inv_n, 0.0, 1.0),
+            jnp.clip(jax.lax.psum(fb.y, axes) * inv_n, 0.0, 1.0),
+            jnp.clip(jax.lax.psum(fb.z, axes) * inv_n, 0.0, 1.0),
+        )
+
+    return body(scene, jnp.asarray(fseed, jnp.int32))
+
+
 def pathtrace_frame_sharded(
     scene, lights, cfg: RenderConfig, key, mesh: Mesh,
 ) -> Vec3:
