@@ -13,8 +13,11 @@ fetched (the honest TTFF the app's user feels), on the app's streaming
 path (240x64x10spp bounce-10, production Pallas kernel, batch=1,
 no warm-start so the FULL-DEPTH compile is what we time).
 
-Usage:  python scratch/ttff_cache.py            # both runs + verdict
-        python scratch/ttff_cache.py --child    # one timed child run
+Usage:  python scratch/ttff_cache.py              # both runs + verdict
+        python scratch/ttff_cache.py --child N    # one timed child run
+The run index N perturbs the camera inputs: the axon tunnel caches
+results by (executable, input values), so identical inputs in run 2
+would measure the RESULT cache, not the compile cache (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ import sys
 import time
 
 
-def child() -> None:
+def child(run_idx: int) -> None:
     t0 = time.perf_counter()
     from ttrt.utils.compile_cache import enable_compile_cache
 
@@ -37,15 +40,25 @@ def child() -> None:
     jax.devices()  # backend init
     t_backend = time.perf_counter() - t0
 
+    from ttrt.assets import make_colors_skybox, skybox_from_faces
     from ttrt.config import RenderConfig
     from ttrt.scene import demo_scene
     from ttrt.app import build_frame_batch_step
 
-    cfg = RenderConfig(width=240, height=64, samples_per_pixel=10,
+    cfg = RenderConfig(width=240, height=64, rays_per_pixel=10,
                        bounce_limit=10)
-    scene = demo_scene(cfg)
+    scene = demo_scene(
+        skybox_from_faces(make_colors_skybox(256), cfg.dtype,
+                          procedural="colors"),
+        cfg.width, cfg.height, cfg.dtype,
+    )
     step = build_frame_batch_step(scene, cfg, 1, "pallas")
-    out = step(jnp.zeros((), cfg.dtype), jnp.zeros(3, cfg.dtype))
+    # fresh input values per run: the tunnel caches results by
+    # (executable, input values) — identical inputs would let run 2 skip
+    # EXECUTION via the result cache and fake a compile-cache win
+    t_cam = jnp.asarray(2.0 + 13.7 * run_idx, cfg.dtype)
+    off = jnp.asarray([0.01 * run_idx, 0.0, 0.0], cfg.dtype)
+    out = step(t_cam, off)
     jax.block_until_ready(out)
     t_ready = time.perf_counter() - t0
     # the frame isn't "painted" until the host has the bytes
@@ -67,7 +80,7 @@ def main() -> None:
     for i in (1, 2):
         t0 = time.perf_counter()
         p = subprocess.run(
-            [sys.executable, __file__, "--child"],
+            [sys.executable, __file__, "--child", str(i)],
             capture_output=True, text=True, timeout=1800,
         )
         wall = time.perf_counter() - t0
@@ -91,6 +104,6 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--child" in sys.argv:
-        child()
+        child(int(sys.argv[sys.argv.index("--child") + 1]))
     else:
         main()
