@@ -798,10 +798,12 @@ def _fused_kernel(
         return jnp.int32(np.int32(np.uint32(1 << b)))
 
     def _qbox(sub, q):
-        base = sub * NQ4 + q
+        # aabb_ref is FLAT (rows*8,) SMEM — 2-D SMEM windows lane-pad
+        # the minor dim 16x, which overflowed SMEM at the 100k tier
+        base = (sub * NQ4 + q) * 8
         return (
-            aabb_ref[base, 0], aabb_ref[base, 1], aabb_ref[base, 2],
-            aabb_ref[base, 3], aabb_ref[base, 4], aabb_ref[base, 5],
+            aabb_ref[base + 0], aabb_ref[base + 1], aabb_ref[base + 2],
+            aabb_ref[base + 3], aabb_ref[base + 4], aabb_ref[base + 5],
         )
 
     def chunk_flags(c):
@@ -1072,6 +1074,12 @@ def _render_rays_fused(
     aabb = jnp.concatenate(
         [aabb, jnp.full((4, aabb.shape[1]), jnp.nan, jnp.float32)]
     )
+    # FLAT 1-D SMEM layout: a 2-D (rows, 8) SMEM window pads its minor
+    # dim to 128 lanes (512 B/row — measured: the 100k tier's
+    # f32[3172,8] table allocated 1.55 MB against SMEM's 1 MB capacity
+    # and failed remote compile, BENCH_r04). Flat packing is 4 B/elem:
+    # the same table is 102 KB, good to ~1M spheres.
+    aabb = aabb.reshape(-1)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     geom_in = []

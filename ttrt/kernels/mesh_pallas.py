@@ -69,7 +69,7 @@ def _bcast_col(v):  # (8, 1) -> (8, 128), ONE explicit broadcast op
 
 def _mesh_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,  # (1, TR, 128) rays
-    aabb_ref,  # SMEM (PAGES*SUBS, 8): lox loy loz hix hiy hiz pad pad
+    aabb_ref,  # SMEM flat (PAGES*SUBS*8,): lox loy loz hix hiy hiz pad pad
     sph_ref,  # (5, KBs, 8, 16) resident sphere table (or None)
     tri_ref,  # (17?, KBt, 8, 16) resident triangle table (or None)
     out_t_ref, out_id_ref,  # (1, TR, 128) per-tile winners
@@ -132,13 +132,16 @@ def _mesh_kernel(
     def sub_live(s):
         if mode != "cull":
             return None
-        base = p * spp_ + s
-        lox = aabb_ref[base, 0]
-        loy = aabb_ref[base, 1]
-        loz = aabb_ref[base, 2]
-        hix = aabb_ref[base, 3]
-        hiy = aabb_ref[base, 4]
-        hiz = aabb_ref[base, 5]
+        # aabb_ref is FLAT (rows*8,) SMEM — a 2-D (rows, 8) SMEM window
+        # lane-pads the minor dim to 512 B/row (16x), which overflowed
+        # SMEM's 1 MB at the fused kernel's 100k tier (BENCH_r04)
+        base = (p * spp_ + s) * 8
+        lox = aabb_ref[base + 0]
+        loy = aabb_ref[base + 1]
+        loz = aabb_ref[base + 2]
+        hix = aabb_ref[base + 3]
+        hiy = aabb_ref[base + 4]
+        hiz = aabb_ref[base + 5]
         t1 = (lox - oxt) * ivx
         t2 = (hix - oxt) * ivx
         tn = jnp.minimum(t1, t2)
@@ -283,7 +286,8 @@ def _mesh_kernel(
 
 
 def _aabb_smem(pack: ClusterPack, pages: int, spp_: int) -> jnp.ndarray:
-    """(pages*SUBS, 8) f32 SMEM table: lo xyz, hi xyz, 0, 0. Padding
+    """FLAT (pages*SUBS*8,) f32 SMEM table, row stride 8: lo xyz, hi
+    xyz, 0, 0. Padding
     subclusters (beyond kb, or valid==0) get NaN boxes — the slab test's
     comparisons are then false on every lane, so they are never live."""
     kb = pack.kb_sph + pack.kb_tri
@@ -301,7 +305,8 @@ def _aabb_smem(pack: ClusterPack, pages: int, spp_: int) -> jnp.ndarray:
         table = jnp.concatenate(
             [table, jnp.full((pad, 8), nan, jnp.float32)]
         )
-    return table
+    # FLAT layout: 4 B/elem in SMEM instead of 512 B/row (see sub_live)
+    return table.reshape(-1)
 
 
 @functools.partial(
