@@ -592,3 +592,36 @@ def test_f64_animation_runs():
     ])
     assert r.returncode == 0, r.stderr[-2000:]
     _check_stream(r.stdout, 1, w, h)
+
+
+def test_exit_for_teardown_guards_live_compile_threads(monkeypatch):
+    """A background deep-compile thread still inside the backend's C++
+    RPC at interpreter exit cannot be joined or cancelled — CPython
+    killing it mid-RPC aborts the process (observed on the remote
+    backend: 'FATAL: exception not rethrown', rc=134, AFTER a valid
+    stream). _exit_for_teardown must os._exit(rc) while such a thread
+    lives and be a no-op passthrough otherwise."""
+    import threading
+
+    from ttrt import app
+
+    calls = []
+    monkeypatch.setattr(app.os, "_exit", lambda rc: calls.append(rc))
+
+    monkeypatch.setattr(app, "_bg_compile_threads", [])
+    assert app._exit_for_teardown(0) == 0
+    assert calls == []
+
+    release = threading.Event()
+    t = threading.Thread(target=release.wait, daemon=True)
+    t.start()
+    monkeypatch.setattr(app, "_bg_compile_threads", [t])
+    try:
+        app._exit_for_teardown(3)
+        assert calls == [3]
+    finally:
+        release.set()
+        t.join(5)
+    # a finished thread no longer forces the hard exit
+    app._exit_for_teardown(0)
+    assert calls == [3]

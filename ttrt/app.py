@@ -17,6 +17,7 @@ in the physics tier), so checkpoint/resume is trivial: persist t.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
@@ -335,6 +336,27 @@ def build_frame_batch_step(scene: Scene, cfg: RenderConfig, batch: int,
 
 WARM_BOUNCE_LIMIT = 4
 
+# threads running a background remote compile; consulted at exit
+_bg_compile_threads: list = []
+
+
+def _exit_for_teardown(rc: int) -> int:
+    """Exit guard for in-flight background remote compiles.
+
+    A WarmStartStep deep compile that is still inside the backend's C++
+    compile RPC at interpreter teardown can be neither joined (minutes)
+    nor cancelled; CPython killing the daemon thread mid-RPC makes glibc
+    terminate (observed on the axon backend: ``FATAL: exception not
+    rethrown``, abort rc=134 — AFTER a fully valid stream and terminal
+    restore). Once every Python-side cleanup has run, skip native
+    teardown with os._exit instead of letting the abort overwrite an
+    honest exit code."""
+    if any(t.is_alive() for t in _bg_compile_threads):
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(rc)
+    return rc
+
 
 class WarmStartStep:
     """Cold-start mitigation. The reference paints its first frame
@@ -368,11 +390,13 @@ class WarmStartStep:
             shallow = cfg.with_(bounce_limit=WARM_BOUNCE_LIMIT)
             self.step = build_frame_batch_step(scene, shallow, batch,
                                                renderer)
-            threading.Thread(
+            t = threading.Thread(
                 target=self._compile_deep,
                 args=(scene, cfg, batch, renderer),
                 daemon=True,
-            ).start()
+            )
+            _bg_compile_threads.append(t)  # see _exit_for_teardown
+            t.start()
         else:
             self.step = build_frame_batch_step(scene, cfg, batch, renderer)
 
@@ -962,7 +986,7 @@ def main(argv=None) -> int:
                 "integrator, not --pathtrace"
             )
         with StartupWatchdog():
-            return _dispatch(args, cfg)
+            return _exit_for_teardown(_dispatch(args, cfg))
     except (assets.AssetError, ConfigError, SceneFileError) as e:
         # config refusals (renderer/extension constraints), scene-file
         # and asset errors are user errors: one line, no traceback (the
@@ -970,7 +994,7 @@ def main(argv=None) -> int:
         # TerminalRayTracer.c:320). Scoped to these classes so internal
         # ValueErrors (e.g. jnp shape bugs) still traceback
         print(f"ttrt: error: {e}", file=sys.stderr)
-        return 1
+        return _exit_for_teardown(1)
 
 
 def _dispatch(args, cfg: RenderConfig) -> int:
