@@ -76,12 +76,19 @@ def child(run_idx: int) -> None:
 
 
 def main() -> None:
+    # fresh cache dir: the shared default (~/.cache/ttrt-jax) is already
+    # populated by bench/CLI runs, which would make run 1 warm too
+    import tempfile
+
+    cache_dir = tempfile.mkdtemp(prefix="ttff-cache-")
+    env = dict(os.environ, TTRT_COMPILE_CACHE=cache_dir)
+    print(json.dumps({"fresh_cache_dir": cache_dir}), flush=True)
     results = []
     for i in (1, 2):
         t0 = time.perf_counter()
         p = subprocess.run(
             [sys.executable, __file__, "--child", str(i)],
-            capture_output=True, text=True, timeout=1800,
+            capture_output=True, text=True, timeout=1800, env=env,
         )
         wall = time.perf_counter() - t0
         line = (p.stdout.strip().splitlines() or ["{}"])[-1]
