@@ -20,9 +20,18 @@ Measurement methodology for the axon tunnel backend (important):
     SLOPE between a small and a large batch, which cancels every constant
     cost (round trip, dispatch, fetch);
   - the backend CACHES results by (executable, input values), so every
-    run/phase consumes FRESH camera times from one monotonic series — no
-    value is ever timed twice (a reused value replays from the cache and
-    inflates throughput);
+    run/phase consumes FRESH camera times — no value is ever timed twice
+    (a reused value replays from the cache and inflates throughput);
+  - each tier re-times the SAME camera window on every repeat (shifted a
+    sub-step epsilon per repeat to stay cache-fresh), so a tier's
+    ``*_runs`` spread is pure timing noise — trace counts swing
+    3.5-5.7M/frame across camera positions, and rounds 1-4's
+    window-per-repeat scheme baked that workload variation into the
+    spread (the textured tier's 600-vs-900 'bimodality');
+  - tunnel stalls are one-sided (~30-60 ms hiccups): each phase time is
+    the MIN over two timings, and a slope 3x faster than its run-pack
+    median is discarded as a stall artifact (one inflated 40.5 Gray/s
+    run was observed before this defense);
   - run-to-run variance on the shared chip is ~±20%, so every reported
     rate is the MEDIAN of 3-5 independent slope measurements, and the
     headline tiers additionally record ALL N rates (``*_runs`` keys) so
@@ -43,6 +52,7 @@ vs_baseline compares against the BASELINE.json north-star target of
 from __future__ import annotations
 
 import concurrent.futures
+import itertools
 import json
 import statistics
 import sys
@@ -69,7 +79,18 @@ def _build(cfg_kwargs, dtype=jnp.float32):
 class TimeSeries:
     """Monotonic source of FRESH staged device scalars: every take(n)
     returns n camera times never used before in this process, staged on
-    device up front so timed loops perform zero host->device transfers."""
+    device up front so timed loops perform zero host->device transfers.
+
+    ``reserve``/``window`` support REPEATABLE windows: a tier reserves one
+    block of camera positions once and re-times the SAME window on every
+    repeat, each repeat shifted by a sub-step epsilon unique to it. The
+    shift keeps every device value fresh (the backend caches results by
+    (executable, input values)) while leaving the per-frame workload —
+    trace counts swing 3.5-5.7M/frame across camera positions — effectively
+    identical across repeats, so a tier's ``*_runs`` spread measures TIMING
+    noise, not scene content. (Rounds 1-4 gave every repeat a different
+    window; the textured tier's 'bimodal' 600-vs-900 Mray/s runs reproduced
+    exactly across days because they were different CAMERAS, not drift.)"""
 
     def __init__(self, dtype, base=2.0, step=0.37):
         self.dtype = dtype
@@ -77,14 +98,38 @@ class TimeSeries:
         self.step = step
         self.i = 0
 
-    def take(self, n):
-        ts = [
-            jnp.asarray(self.base + self.step * (self.i + k), self.dtype)
-            for k in range(n)
-        ]
-        self.i += n
+    def _stage(self, offsets):
+        ts = [jnp.asarray(self.base + self.step * o, self.dtype)
+              for o in offsets]
         jax.block_until_ready(ts)
         return ts
+
+    def take(self, n):
+        ts = self._stage(range(self.i, self.i + n))
+        self.i += n
+        return ts
+
+    def reserve(self, n) -> int:
+        """Claim n index slots (plus one slot of shift headroom) and
+        return the window's start index."""
+        start = self.i
+        self.i += n + 1
+        return start
+
+    def window(self, start, lo, n, shift_id):
+        """n staged times at reserved offsets start+lo .. start+lo+n-1,
+        perturbed by shift_id * eps. eps is at least 4 f32 ULPs of the
+        largest value so distinct shift_ids never round to the same
+        device value (a collision would replay the result cache and a
+        min-of-reps phase time would keep the fake-fast rep)."""
+        hi_val = self.base + self.step * (start + lo + n + 1)
+        ulp = float(np.spacing(np.asarray(hi_val, np.float32)))
+        eps = max(0.003, 4.0 * ulp / self.step) * shift_id
+        # a shift reaching one full step would alias the NEXT window
+        # slot (and the phases' disjoint k-ranges); _throughput consumes
+        # at most ~32 shift ids per call, far below this bound
+        assert eps < 1.0, (eps, shift_id, self.step)
+        return self._stage(start + lo + k + eps for k in range(n))
 
 
 def _run_batch(step_fn, scene, batch):
@@ -97,7 +142,7 @@ def _run_batch(step_fn, scene, batch):
 
 
 def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
-                repeats=3, keep_outs=False):
+                repeats=3, keep_outs=False, phase_reps=2):
     """Median-of-`repeats` slope timing; every phase uses fresh times.
     Returns (median_sec_per_frame, last_outs, all_sec_per_frame) — the
     full list makes the recorded JSON decision-grade under the chip's
@@ -106,36 +151,47 @@ def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
 
     ``keep_outs=True`` returns the PER-REPEAT big-batch outputs as the
     second element (a list, one entry per recorded slope) so callers can
-    pair each run's rate with ITS OWN trace-count numerator — every
-    repeat times different camera positions and trace counts swing
-    3.5-5.7M/frame, so dividing one shared numerator by per-run slopes
-    left a numerator/denominator mismatch in exactly the spread data
-    (ADVICE r3)."""
+    pair each run's rate with ITS OWN trace-count numerator (ADVICE r3).
+
+    Robustness (round 5): tunnel stalls are strictly ADDITIVE noise — a
+    single ~30-60 ms hiccup landing in the small phase shrinks the
+    (t_big - t_small) delta and INFLATES the rate (BENCH_r05's first run
+    recorded a physically impossible 40.5 Gray/s this way). Two layers of
+    defense: (1) each phase time is the MIN over ``phase_reps`` timings of
+    the same window (fresh shift per rep keeps the result cache cold; min
+    is the right estimator under one-sided noise), and (2) a surviving
+    slope below 1/3 of the run-pack median is discarded as a stall
+    artifact — a chip does not get 3x faster between repeats of the same
+    program on the same window."""
     _run_batch(step_fn, scene, series.take(2))  # warm
-    pers = []
-    outs_list = []
-    outs = None
+    start = series.reserve(n_small + n_big)
+    next_shift = itertools.count(1).__next__
+
+    def phase(lo, n):
+        best_dt, best_outs = None, None
+        for _ in range(phase_reps):
+            batch = series.window(start, lo, n, next_shift())
+            t0 = time.perf_counter()
+            outs = _run_batch(step_fn, scene, batch)
+            dt = time.perf_counter() - t0
+            if best_dt is None or dt < best_dt:
+                best_dt, best_outs = dt, outs
+        return best_dt, best_outs
+
+    recs = []
     attempts = 0
-    while len(pers) < repeats and attempts < repeats + 3:
+    while len(recs) < repeats and attempts < repeats + 3:
         attempts += 1
-        small = series.take(n_small)
-        big = series.take(n_big)
-        t0 = time.perf_counter()
-        _run_batch(step_fn, scene, small)
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        outs = _run_batch(step_fn, scene, big)
-        t_big = time.perf_counter() - t0
+        t_small, _ = phase(0, n_small)
+        t_big, outs = phase(n_small, n_big)
         slope = (t_big - t_small) / (n_big - n_small)
         # tunnel jitter occasionally times the SMALL batch longer than
         # the big one; a non-positive slope carries no information —
         # discard and re-measure (bounded retries) instead of recording
         # a clamped sentinel that poisons the *_runs spread
         if slope > 0:
-            pers.append(slope)
-            if keep_outs:
-                outs_list.append(outs)
-    if not pers:
+            recs.append((slope, outs))
+    if not recs:
         # every attempt timed the small batch slower than the big one:
         # there is no measurement here. Raise into run_tier's isolation
         # (an *_error field) rather than record a fake slope — a 1e-9
@@ -144,7 +200,18 @@ def _throughput(step_fn, scene, series: TimeSeries, n_small=6, n_big=24,
             f"no positive slope in {attempts} attempts (tunnel jitter "
             "swamped the batch-size delta)"
         )
-    return statistics.median(pers), (outs_list if keep_outs else outs), pers
+    med = statistics.median(s for s, _ in recs)
+    kept = [rec for rec in recs if rec[0] >= med / 3.0]
+    if len(kept) < len(recs):
+        from ttrt.utils.logging import log
+        log(f"bench: discarded {len(recs) - len(kept)} impossible-fast "
+            f"slope(s) (stall artifact): "
+            f"{[round(s * 1e3, 3) for s, _ in recs if s < med / 3.0]} ms/frame "
+            f"vs pack median {med * 1e3:.3f}")
+    pers = [s for s, _ in kept]
+    outs_list = [o for _, o in kept]
+    return (statistics.median(pers),
+            (outs_list if keep_outs else outs_list[-1]), pers)
 
 
 def _median_rate(run_rays, pers) -> float:
@@ -439,9 +506,25 @@ def bench_many_object() -> dict:
         )
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
 
-    sec_fl, outs_fl, _ = _throughput(
-        step_fly, scene, series, n_small=3, n_big=9, repeats=3
-    )
+    # The exterior rate swings >2x with WHERE in the orbit the timed
+    # window sits (how much of the cloud is in frame: 13-32 Mray/s
+    # observed across windows), so the datum is pinned to three FIXED
+    # windows spread across the orbit's 100 s quasi-period (Ry 20 s,
+    # Rx 33.3 s) and reports their median — an orbit-fair number, not a
+    # series-consumption accident.
+    # Mray/s counts PERFORMED traces: culling removes traces from the
+    # numerator in the same stroke it removes their time, so no camera
+    # can push Mray/s above the narrow-phase body roofline — what
+    # culling buys is FRAME TIME, reported alongside (the fused
+    # interior/flyover frame_ms pair is the culling-win datum).
+    fly_rates, fly_ms = [], []
+    for base in (1500.0, 1533.0, 1566.0):
+        s_fly = TimeSeries(cfg.dtype, base=base, step=0.21)
+        sec_1, outs_1, _ = _throughput(
+            step_fly, scene, s_fly, n_small=3, n_big=9, repeats=1
+        )
+        fly_rates.append(_mean_rays(outs_1) / sec_1 / 1e6)
+        fly_ms.append(sec_1 * 1e3)
 
     # round-2 comparison point: the launch-per-trace cluster kernel
     sec, outs, _ = _throughput(step, scene, series, n_small=3, n_big=9,
@@ -471,7 +554,10 @@ def bench_many_object() -> dict:
         "mrays_10k_fused": _median_rate(run_rays_f, pers_f),
         "mrays_10k_fused_runs": [rr / p / 1e6
                                  for rr, p in zip(run_rays_f, pers_f)],
-        "mrays_10k_flyover": _mean_rays(outs_fl) / sec_fl / 1e6,
+        "mrays_10k_flyover": statistics.median(fly_rates),
+        "mrays_10k_flyover_windows": fly_rates,
+        "frame_ms_10k_fused": sec_f * 1e3,
+        "frame_ms_10k_flyover": statistics.median(fly_ms),
         "mrays_10k_cluster": _mean_rays(outs) / sec / 1e6,
         "mrays_10k_dense_corrected": _mean_rays(outs_d) / sec_d / 1e6,
         "grid_dims": list(scene.grid.dims),
@@ -510,11 +596,19 @@ def bench_many_object_100k() -> dict:
         )
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
 
-    series = TimeSeries(cfg.dtype, base=2100.0, step=0.21)
-    sec, outs, _ = _throughput(step_fly, scene, series, n_small=3,
-                               n_big=9, repeats=3)
+    # same orbit-pinned 3-window datum as mrays_10k_flyover (the
+    # exterior rate swings >2x with orbit phase)
+    rates, fly_ms = [], []
+    for base in (2100.0, 2133.0, 2166.0):
+        s_fly = TimeSeries(cfg.dtype, base=base, step=0.21)
+        sec, outs, _ = _throughput(step_fly, scene, s_fly, n_small=3,
+                                   n_big=9, repeats=1)
+        rates.append(_mean_rays(outs) / sec / 1e6)
+        fly_ms.append(sec * 1e3)
     return {
-        "mrays_100k_flyover": _mean_rays(outs) / sec / 1e6,
+        "mrays_100k_flyover": statistics.median(rates),
+        "mrays_100k_flyover_windows": rates,
+        "frame_ms_100k_flyover": statistics.median(fly_ms),
         "subclusters_100k": scene.clusters.kb_sph + scene.clusters.kb_tri,
     }
 
@@ -569,17 +663,36 @@ def bench_physics() -> dict:
     # chain slope still cancels the fetch RTT
     x = chain(state, 3)
 
-    def measure():
-        nonlocal x
-        t0 = time.perf_counter()
-        x = chain(x, 20)
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        x = chain(x, 120)
-        t_big = time.perf_counter() - t0
-        return max((t_big - t_small) / 100.0, 1e-9)
+    def _chain_slope(advance, n_small, n_big, repeats=3):
+        """Median-of-repeats chain slope with min-of-2 phase timings
+        (same one-sided-stall defense as _throughput; the state chain
+        cannot reuse a window, but repeating a phase on fresh evolved
+        state times an identical workload). Non-positive slopes are
+        discarded, not clamped — the old 1e-9 sentinel could post a
+        ~1e9 steps/s rate if two of three repeats hiccupped."""
+        def phase(k):
+            t0 = time.perf_counter()
+            advance(k)
+            return time.perf_counter() - t0
 
-    per = statistics.median(measure() for _ in range(3))
+        pers, attempts = [], 0
+        while len(pers) < repeats and attempts < repeats + 3:
+            attempts += 1
+            t_small = min(phase(n_small), phase(n_small))
+            t_big = min(phase(n_big), phase(n_big))
+            slope = (t_big - t_small) / (n_big - n_small)
+            if slope > 0:
+                pers.append(slope)
+        if not pers:
+            raise RuntimeError(
+                f"no positive chain slope in {attempts} attempts")
+        return statistics.median(pers)
+
+    def advance(k):
+        nonlocal x
+        x = chain(x, k)
+
+    per = _chain_slope(advance, 20, 120)
     out = {"physics_steps_per_s_64body": 1.0 / per}
 
     # fused physics + render + on-device ANSI encode (streaming shape)
@@ -605,17 +718,11 @@ def bench_physics() -> dict:
 
     st = fchain(pstate, 2)
 
-    def fmeasure():
+    def fadvance(k):
         nonlocal st
-        t0 = time.perf_counter()
-        st = fchain(st, 5)
-        t_small = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        st = fchain(st, 25)
-        t_big = time.perf_counter() - t0
-        return max((t_big - t_small) / 20.0, 1e-9)
+        st = fchain(st, k)
 
-    per_f = statistics.median(fmeasure() for _ in range(3))
+    per_f = _chain_slope(fadvance, 5, 25)
     out["physics_render_fps"] = 1.0 / per_f
     return out
 

@@ -103,6 +103,39 @@ class TestMainContract:
         assert "compile blew up" in out["bench_many_object_error"]
 
 
+class TestTimeSeries:
+    def test_window_shifts_stay_fresh_and_bounded(self):
+        # every (shift_id, k) must land on a DISTINCT f32 device value —
+        # a collision replays the backend result cache and min-of-reps
+        # would keep the fake-fast rep. Worst published tier params:
+        # base=500, step=1/60 (f32 ulp there is ~2x the 0.003-step floor)
+        import jax.numpy as jnp
+
+        s = bench.TimeSeries(jnp.float32, base=500.0, step=1.0 / 60.0)
+        start = s.reserve(4)
+        seen = set()
+        for shift in range(1, 33):
+            vals = [float(v) for v in s.window(start, 0, 4, shift)]
+            assert not (set(vals) & seen), f"cache replay at shift {shift}"
+            seen.update(vals)
+        # reserved headroom: no shifted value may alias the next take()
+        nxt = float(s.take(1)[0])
+        assert all(v < nxt for v in seen)
+
+
+class _StubSeries:
+    """TimeSeries stand-in for estimator tests (no device values)."""
+
+    def take(self, n):
+        return list(range(n))
+
+    def reserve(self, n):
+        return 0
+
+    def window(self, start, lo, n, shift_id):
+        return list(range(n))
+
+
 class TestEstimators:
     def test_mean_rays_averages_over_batch(self):
         outs = [(None, np.int64(4)), (None, np.int64(6)),
@@ -123,15 +156,54 @@ class TestEstimators:
             bench, "_run_batch", lambda fn, scene, batch: [(None, 1)]
         )
 
-        class Series:
-            def take(self, n):
-                return list(range(n))
-
         sec, outs, pers = bench._throughput(
-            None, None, Series(), n_small=1, n_big=3, repeats=1
+            None, None, _StubSeries(), n_small=1, n_big=3, repeats=1,
+            phase_reps=1,
         )
         assert pers == [pytest.approx(0.1)]
         assert sec == pytest.approx(0.1)
+
+    def test_phase_time_is_min_over_reps(self, monkeypatch):
+        # a one-sided tunnel stall (~30-60 ms hiccup) in the small phase
+        # shrinks the slope delta and INFLATES the rate (an impossible
+        # 40.5 Gray/s run was recorded this way); min-of-reps keeps the
+        # stall-free timing of the same (shift-perturbed) window
+        times = iter([
+            0.0, 1.0,            # small rep 1: stalled (1.0s)
+            0.0, 0.1,            # small rep 2: clean    -> min 0.1
+            0.0, 0.35,           # big rep 1: 0.35
+            0.0, 0.3,            # big rep 2: 0.3        -> min 0.3
+        ])
+        monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
+        monkeypatch.setattr(
+            bench, "_run_batch", lambda fn, scene, batch: [(None, 1)]
+        )
+
+        sec, outs, pers = bench._throughput(
+            None, None, _StubSeries(), n_small=1, n_big=3, repeats=1,
+            phase_reps=2,
+        )
+        assert sec == pytest.approx((0.3 - 0.1) / 2)
+
+    def test_impossible_fast_slope_is_discarded(self, monkeypatch):
+        # a slope 3x below the run-pack median is a stall artifact, not
+        # a chip that got 3x faster between repeats of the same program
+        times = iter([
+            0.0, 0.1, 0.0, 0.3,      # slope 0.1
+            0.0, 0.1, 0.0, 0.32,     # slope 0.11
+            0.0, 0.1, 0.0, 0.102,    # slope 0.001 -> stall artifact
+        ])
+        monkeypatch.setattr(bench.time, "perf_counter", lambda: next(times))
+        monkeypatch.setattr(
+            bench, "_run_batch", lambda fn, scene, batch: [(None, 1)]
+        )
+
+        sec, outs, pers = bench._throughput(
+            None, None, _StubSeries(), n_small=1, n_big=3, repeats=3,
+            phase_reps=1,
+        )
+        assert len(pers) == 2
+        assert pers == [pytest.approx(0.1), pytest.approx(0.11)]
 
     def test_throughput_keep_outs_pairs_runs_with_outputs(self, monkeypatch):
         # ADVICE r3: each recorded slope must come with ITS repeat's
@@ -144,13 +216,9 @@ class TestEstimators:
             bench, "_run_batch", lambda fn, scene, batch: next(batches)
         )
 
-        class Series:
-            def take(self, n):
-                return list(range(n))
-
         sec, outs_list, pers = bench._throughput(
-            None, None, Series(), n_small=1, n_big=3, repeats=2,
-            keep_outs=True,
+            None, None, _StubSeries(), n_small=1, n_big=3, repeats=2,
+            keep_outs=True, phase_reps=1,
         )
         assert len(outs_list) == len(pers) == 2
         assert outs_list[0] == [("b1", 20)]
@@ -168,10 +236,6 @@ class TestEstimators:
         )
         iter_times = iter([0.0, 1.0, 1.0, 1.5] * 10)
 
-        class Series:
-            def take(self, n):
-                return list(range(n))
-
         with pytest.raises(RuntimeError, match="no positive slope"):
-            bench._throughput(None, None, Series(), n_small=1, n_big=3,
-                              repeats=1)
+            bench._throughput(None, None, _StubSeries(), n_small=1,
+                              n_big=3, repeats=1, phase_reps=1)

@@ -1228,7 +1228,7 @@ def render_band_mesh_fused(
     sample_offset=0.0, n_samples: int = None,
     interpret: bool = False, tile_rows: int = TILE_ROWS,
     prune: bool = True, reduce: str = "avg", swizzle="auto",
-    stats: bool = False,
+    stats: bool = False, debug_sweep: str = None,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Render a horizontal band x AA-sample slice of a MeshScene frame
     through the fused kernel (offsets may be traced — shard_map callers
@@ -1279,6 +1279,7 @@ def render_band_mesh_fused(
         scene.directional_lights.count, scene.point_lights.count,
         scene.skybox.dim, interpret, tile_rows,
         scene.skybox.procedural, prune, n_rows, n_samples, swizzle, stats,
+        debug_sweep,
     )
     scale = 1.0 / N if reduce == "avg" else 1.0
 
@@ -1291,14 +1292,18 @@ def render_band_mesh_fused(
 def render_frame_mesh_fused(
     scene, cfg: RenderConfig, *, interpret: bool = False,
     tile_rows: int = TILE_ROWS, prune: bool = True, swizzle="auto",
-    stats: bool = False,
+    stats: bool = False, debug_sweep: str = None,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Whole-frame fused render of a MeshScene: returns the (H, W)
     framebuffer Vec3 + trace count. Drop-in for
     ttrt.render.integrator.render_frame on many-object scenes carrying a
-    cluster pack."""
+    cluster pack. ``debug_sweep`` ('dead'/'all') is the perf-lab knob
+    behind scratch/fused_breakdown.py's overhead-floor / body-ceiling
+    roofline measurements (BASELINE.md 10k amendment) — not a render
+    mode."""
     fb, rays = render_band_mesh_fused(
         scene, cfg, 0.0, cfg.height, interpret=interpret,
         tile_rows=tile_rows, prune=prune, swizzle=swizzle, stats=stats,
+        debug_sweep=debug_sweep,
     )
     return fb, rays
