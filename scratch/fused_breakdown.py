@@ -17,7 +17,9 @@ Round-3 numbers: dead 1-2 ms, all 21-24 ms, production within ~1.5x of
 Timing uses bench.py's hardened slope method (CLAUDE.md rule: plain
 enqueue-N loops measured a ~90 ms per-batch sync tax in round 2).
 
-Usage: python scratch/fused_breakdown.py [n_spheres=10000]
+Usage: python scratch/fused_breakdown.py [n_spheres=10000] [fly]
+  'fly' switches to the bench's exterior fly-over camera (origin x20,
+  orbit window base 2100) — the 100k tier's datum.
 """
 import functools
 import sys
@@ -35,6 +37,7 @@ from ttrt.kernels.mesh_fused import render_frame_mesh_fused
 from ttrt.mesh import many_sphere_scene
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
+fly = len(sys.argv) > 2 and sys.argv[2] == "fly"
 cfg = RenderConfig(width=240, height=64, rays_per_pixel=2,
                    bounce_limit=3, dtype=jnp.float32)
 scene = many_sphere_scene(
@@ -49,6 +52,8 @@ def make_step(sweep):
         frame = jax.tree.map(
             lambda a: a.astype(cfg.dtype), orbit_camera_frame(t, cfg.dtype)
         )
+        if fly:
+            frame = frame._replace(origin=frame.origin * 20.0)
         fb, rays = render_frame_mesh_fused(
             scene.with_camera_frame(frame), cfg, debug_sweep=sweep
         )
@@ -56,7 +61,8 @@ def make_step(sweep):
     return step
 
 
-series = bench.TimeSeries(jnp.float32, base=1300.0, step=0.21)
+series = bench.TimeSeries(jnp.float32, base=2100.0 if fly else 1300.0,
+                          step=0.21)
 print(f"n_spheres={n} subclusters="
       f"{scene.clusters.kb_sph + scene.clusters.kb_tri}", flush=True)
 for sweep in ("dead", "all", None):

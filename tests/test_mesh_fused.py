@@ -81,6 +81,37 @@ class TestFusedParity:
             fb_ref.to_array(), fb.to_array(), scene, cfg, knife_cap=0.40,
         )
 
+    def test_hierarchical_sweep_bitwise_across_superchunks(self):
+        """The two-level sweep (one union AABB per static chunk gates 8
+        chunks per sync — the 100k tier's dead-floor fix, round 5) must
+        be BITWISE identical to the flat sweep across a superchunk
+        boundary: 4480 spheres -> kb_sph=35 (+1 tri) = 36 subclusters =
+        9 chunks = 2 superchunks. Exercises the sentinel-chunk order
+        padding (9 -> 16 slots), the NaN super/quarter pad rows, and the
+        super-level stale-BTF prune (conservative: may only WIDEN the
+        chunk keep set). Bitwise-vs-flat is the right bar — the flat
+        sweep's own oracle parity is covered by the tests above (this
+        scene is too silhouette-dense at 16x8 for the blanket
+        within-knife flip budget); the oracle link here is exact trace
+        accounting, which matches only if every bounce/hit decision
+        does."""
+        cfg = RenderConfig(width=16, height=8, rays_per_pixel=1,
+                           bounce_limit=2, dtype=jnp.float32)
+        scene = _scene(cfg, "colors", n_spheres=4480)
+        K = scene.clusters.kb_sph + scene.clusters.kb_tri
+        assert -(-(-(-K // 4)) // mf.SUPERCHUNK) >= 2, (
+            f"scene too small to cross a superchunk boundary (K={K})"
+        )
+        _, rays_ref = render_frame(scene, cfg, count_rays=True)
+        fb0, r0 = render_frame_mesh_fused(scene, cfg, interpret=True,
+                                          tile_rows=8, hierarchy=False)
+        fb1, r1 = render_frame_mesh_fused(scene, cfg, interpret=True,
+                                          tile_rows=8, hierarchy=True)
+        np.testing.assert_array_equal(np.asarray(fb0.x), np.asarray(fb1.x))
+        np.testing.assert_array_equal(np.asarray(fb0.y), np.asarray(fb1.y))
+        np.testing.assert_array_equal(np.asarray(fb0.z), np.asarray(fb1.z))
+        assert int(r0) == int(r1) == int(rays_ref)
+
     def test_visit_order_is_pure_optimization(self):
         """Reversing the near-to-far subcluster order (far-to-near, the
         prune's worst case) must be BITWISE identical: the best-t prune

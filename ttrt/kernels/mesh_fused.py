@@ -131,6 +131,61 @@ def _aabb_table(pack: ClusterPack) -> jnp.ndarray:
     )
 
 
+# Hierarchical (two-level) sweep: one union AABB per STATIC chunk of 4
+# Morton/index-consecutive subclusters gates the whole chunk — 8 chunk
+# bits per scalar sync — before the per-quarter flags run. Auto-enabled
+# at this many subclusters: the round-5 on-chip breakdown measured the
+# flat sweep's dead floor at 10.2 ms of a 31.3 ms production frame at
+# the 100k tier (792 subclusters, scratch/fused_breakdown.py), while at
+# the 10k tier (~80 subclusters) the floor is 1-2 ms and the interior
+# camera keeps ~82% of sections live — there the super level is pure
+# overhead, so the proven flat sweep stays.
+SUPERCHUNK = 8
+HIERARCHY_MIN_SUBCLUSTERS = 256
+
+
+def _super_table(pack: ClusterPack) -> jnp.ndarray:
+    """(NC, 8) f32 union AABBs of the static sweep chunks (chunk c =
+    combined subclusters [c*4, c*4+4)); columns lo xyz, hi xyz, 0, 0.
+    Chunks whose members are all padding carry NaN boxes. Membership is
+    STATIC (index/Morton-consecutive) so the unions stay spatially tight
+    — unions over the per-frame distance order would span whole distance
+    shells and never cull."""
+    lo = jnp.concatenate([pack.sph_lo, pack.tri_lo], axis=0)
+    hi = jnp.concatenate([pack.sph_hi, pack.tri_hi], axis=0)
+    valid = jnp.concatenate([pack.sph_valid, pack.tri_valid]) != 0
+    k = lo.shape[0]
+    nc = -(-k // 4)
+    pad = nc * 4 - k
+    lo = jnp.pad(lo, ((0, pad), (0, 0)))
+    hi = jnp.pad(hi, ((0, pad), (0, 0)))
+    valid = jnp.pad(valid, (0, pad))
+    lo = jnp.where(valid[:, None], lo, jnp.inf).reshape(nc, 4, 3)
+    hi = jnp.where(valid[:, None], hi, -jnp.inf).reshape(nc, 4, 3)
+    slo, shi = lo.min(axis=1), hi.max(axis=1)
+    ok = valid.reshape(nc, 4).any(axis=1)[:, None]
+    slo = jnp.where(ok, slo, jnp.nan)
+    shi = jnp.where(ok, shi, jnp.nan)
+    return jnp.concatenate(
+        [slo, shi, jnp.zeros((nc, 2), jnp.float32)], axis=1
+    )
+
+
+def order_chunks(super_tab: jnp.ndarray, origin: jnp.ndarray) -> jnp.ndarray:
+    """(NC,) int32 visit order over the static sweep chunks, sorted by
+    squared distance from ``origin`` to the chunk union-box center
+    (NaN/padding chunks last). Chunk-granularity near-to-far: the best-t
+    prune converges almost as fast as the per-subcluster sort
+    (order_subclusters) while keeping chunk membership static so the
+    union boxes above can exist. Like the flat order, any permutation
+    yields identical output absent exact float-t ties (asserted by
+    tests)."""
+    c = 0.5 * (super_tab[:, 0:3] + super_tab[:, 3:6])
+    d2 = ((c - origin[None, :].astype(jnp.float32)) ** 2).sum(axis=-1)
+    key = jnp.where(jnp.isnan(d2), jnp.inf, d2)
+    return jnp.argsort(key).astype(jnp.int32)
+
+
 # ---------------------------------------------------------------------------
 # The kernel
 # ---------------------------------------------------------------------------
@@ -143,6 +198,8 @@ def _fused_kernel(
     st_ref, q_ref, cnt_ref,  # VMEM scratch
     out_wu=None, out_wv=None,  # (1, TR, 128) — textured bilinear only
     *,
+    super_ref=None,  # SMEM flat chunk-union AABBs (hierarchy only)
+    hierarchy: bool = False,
     cfg: RenderConfig,
     kb_sph: int,
     kb_tri: int,
@@ -797,6 +854,30 @@ def _fused_kernel(
     def _bit(b):  # int32 constant with bit b set (b=31 = the sign bit)
         return jnp.int32(np.int32(np.uint32(1 << b)))
 
+    def _fold_mask(bits):
+        # cross-sublane / cross-lane OR fold, then one scalar extraction
+        v = bits
+        h = TR // 2
+        while h >= 1:
+            v = v[0:h, :] | v[h:2 * h, :]
+            h //= 2
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            v = v | pltpu.roll(v, sh, 1)
+        # all lanes equal after the fold — but the packed mask may have
+        # the SIGN bit set (bit 31 = j3/q3 shadow), so extract with a
+        # bitwise-OR-preserving reduction: lanes are equal, min == value
+        return jnp.min(v)
+
+    def _sub(c, j):
+        # visit-slot -> combined subcluster id. The flat sweep's order
+        # table holds SUBCLUSTER ids (chunk c = order slots 4c..4c+3);
+        # the hierarchical sweep's holds STATIC CHUNK ids (chunk cid =
+        # subclusters [cid*4, cid*4+4), Morton/index-consecutive so the
+        # super union boxes stay tight).
+        if hierarchy:
+            return order_ref[c] * CHUNK + j
+        return order_ref[c * CHUNK + j]
+
     def _qbox(sub, q):
         # aabb_ref is FLAT (rows*8,) SMEM — 2-D SMEM windows lane-pad
         # the minor dim 16x, which overflowed SMEM at the 100k tier
@@ -838,7 +919,7 @@ def _fused_kernel(
         pl_tmax = [sget(d["tmax"]) for d in PL_BASE]
         bits = jnp.zeros((TR, LANES), jnp.int32)
         for j in range(CHUNK):
-            sub = order_ref[c * CHUNK + j]
+            sub = _sub(c, j)
             for q in range(NQ4):
                 box = _qbox(sub, q)
                 ok, tn = slab(*box, o3, iv3)
@@ -874,18 +955,7 @@ def _fused_kernel(
                 shadow_on, jnp.int32(np.int32(np.uint32(0xF0F0F0F0))), 0
             )
             bits = jnp.broadcast_to(gate, bits.shape)
-        # cross-sublane / cross-lane OR fold, then one scalar extraction
-        v = bits
-        h = TR // 2
-        while h >= 1:
-            v = v[0:h, :] | v[h:2 * h, :]
-            h //= 2
-        for sh in (64, 32, 16, 8, 4, 2, 1):
-            v = v | pltpu.roll(v, sh, 1)
-        # all lanes equal after the fold — but the packed mask may have
-        # the SIGN bit set (bit 31 = j3/q3 shadow), so extract with a
-        # bitwise-OR-preserving reduction: lanes are equal, min == value
-        return jnp.min(v)
+        return _fold_mask(bits)
 
     def chunk_body(c, _):
         bits = chunk_flags(c)
@@ -893,7 +963,7 @@ def _fused_kernel(
         @pl.when(bits != 0)
         def _run():
             def inner(j, _2):
-                sub = order_ref[c * CHUNK + j]
+                sub = _sub(c, j)
                 if kb_sph and kb_tri:
                     is_sph = sub < kb_sph
                 else:
@@ -958,7 +1028,96 @@ def _fused_kernel(
 
         return _
 
-    jax.lax.fori_loop(0, -(-K // CHUNK), chunk_body, None)
+    # ---- super level (hierarchy only): one union box per chunk gates
+    # the chunk's whole quarter-flag computation AND its scalar sync —
+    # 8 chunk bits per sync. In super-dead regions this replaces 48
+    # quarter slab tests + 1 sync PER CHUNK with 3 slab tests + 1/8
+    # sync, cutting the sweep's dead floor ~16x (the 100k tier's floor
+    # measured 10.2 of 31.3 ms/frame, scratch/fused_breakdown.py); in
+    # fully-live regions it adds ~6% slab tests. BTF/SFOLD reads are up
+    # to a superchunk stale, which only ever WIDENS the conservative
+    # keep set (BTF monotonically tightens; SFOLD only resolves).
+    def _sbox(cid):
+        base = cid * 8
+        return (
+            super_ref[base + 0], super_ref[base + 1],
+            super_ref[base + 2], super_ref[base + 3],
+            super_ref[base + 4], super_ref[base + 5],
+        )
+
+    def super_flags(g):
+        """Packed int32 chunk-live mask for superchunk ``g`` — one sync.
+        Bit j set = chunk order_ref[g*8+j] has ANY pending work (nearest
+        or shadow) behind its union box; chunk_flags recomputes the
+        precise per-quarter bits for live chunks."""
+        nearest_on = ph < B
+        shadow_on = ph > 0
+        alive = sget(ACON) > constants.CONTRIBUTION_EPS
+        btf = sget(BTF)
+        o3 = (sget(OX), sget(OY), sget(OZ))
+        iv3 = (sget(NIVX), sget(NIVY), sget(NIVZ))
+        h3 = (sget(HX), sget(HY), sget(HZ))
+        hw_pos = sget(HW) > 0.0
+        pend_dl = [
+            hw_pos & (sget(SFOLD[li]) == 0.0) for li in range(n_dl)
+        ]
+        pend_pl = [
+            hw_pos & (sget(SFOLD[n_dl + lj]) == 0.0) for lj in range(n_pl)
+        ]
+        dl_iv = [
+            tuple(cinv(dl_ref[li * 6 + cc]) for cc in range(3))
+            for li in range(n_dl)
+        ]
+        pl_iv = [
+            (sget(d["ivx"]), sget(d["ivy"]), sget(d["ivz"]))
+            for d in PL_BASE
+        ]
+        pl_tmax = [sget(d["tmax"]) for d in PL_BASE]
+        bits = jnp.zeros((TR, LANES), jnp.int32)
+        for j in range(SUPERCHUNK):
+            cid = order_ref[g * SUPERCHUNK + j]
+            box = _sbox(cid)
+            ok, tn = slab(*box, o3, iv3)
+            keep = ok & alive
+            if prune:
+                keep = keep & (tn <= btf * 1.001 + 1e-3)
+            live = keep & nearest_on
+            skeep = jnp.zeros((TR, LANES), jnp.bool_)
+            for li in range(n_dl):
+                ok, _tn = slab(*box, h3, dl_iv[li])
+                skeep = skeep | (ok & pend_dl[li])
+            for lj in range(n_pl):
+                ok, _tn = slab(*box, h3, pl_iv[lj], tmax=pl_tmax[lj])
+                skeep = skeep | (ok & pend_pl[lj])
+            live = live | (skeep & shadow_on)
+            bits = bits | jnp.where(live, _bit(j), 0)
+        if debug_sweep == "dead":  # perf-lab knob: overhead floor
+            bits = bits & 0
+        elif debug_sweep == "all":  # perf-lab knob: body ceiling
+            bits = jnp.broadcast_to(jnp.int32(0xFF), bits.shape)
+        return _fold_mask(bits)
+
+    def superchunk_body(g, _):
+        sbits = super_flags(g)
+
+        @pl.when(sbits != 0)
+        def _run():
+            def inner(j, _2):
+                @pl.when(((sbits >> j) & 1) != 0)
+                def _():
+                    chunk_body(g * SUPERCHUNK + j, None)
+
+                return _2
+
+            jax.lax.fori_loop(0, SUPERCHUNK, inner, None)
+
+        return _
+
+    if hierarchy:
+        nc = -(-K // CHUNK)
+        jax.lax.fori_loop(0, -(-nc // SUPERCHUNK), superchunk_body, None)
+    else:
+        jax.lax.fori_loop(0, -(-K // CHUNK), chunk_body, None)
 
     # ------------------------------------------------------------------
     # Final epilogue: last bounce's lighting + sky + outputs
@@ -1009,7 +1168,7 @@ def _fused_kernel(
     static_argnames=("cfg", "kb_sph", "kb_tri", "n_dl", "n_pl", "sky_dim",
                      "interpret", "tile_rows", "procedural", "prune",
                      "n_rows", "n_samples", "swizzle", "stats",
-                     "debug_sweep"),
+                     "debug_sweep", "hierarchy"),
 )
 def _render_rays_fused(
     pack: ClusterPack,
@@ -1030,6 +1189,8 @@ def _render_rays_fused(
     swizzle=None,
     stats: bool = False,
     debug_sweep: str = None,
+    super_tab=None,
+    hierarchy: bool = False,
 ):
     W, H, N = cfg.width, cfg.height, cfg.rays_per_pixel
     if n_rows is None:
@@ -1067,13 +1228,36 @@ def _render_rays_fused(
     # and cost one flag computation each, never a body
     K = kb_sph + kb_tri
     k_pad = -(-K // 4) * 4
-    if k_pad > K:
-        order = jnp.concatenate(
-            [order, jnp.full((k_pad - K,), K, jnp.int32)]
+    if hierarchy:
+        # order holds STATIC CHUNK ids. Pad to a multiple of the
+        # superchunk width with the sentinel chunk id NC, whose super
+        # box is NaN (never live); its quarter rows must still exist
+        # because debug_sweep='all' forces the gates open — pad the
+        # quarter table with the last-chunk's missing subclusters plus
+        # one whole sentinel chunk, all NaN boxes.
+        nc = k_pad // 4
+        nsc_pad = -(-nc // SUPERCHUNK) * SUPERCHUNK
+        if nsc_pad > nc:
+            order = jnp.concatenate(
+                [order, jnp.full((nsc_pad - nc,), nc, jnp.int32)]
+            )
+        super_tab = jnp.concatenate(
+            [super_tab,
+             jnp.full((1, super_tab.shape[1]), jnp.nan, jnp.float32)]
+        ).reshape(-1)
+        n_pad_subs = (k_pad - K) + 4
+        aabb = jnp.concatenate(
+            [aabb, jnp.full((n_pad_subs * 4, aabb.shape[1]), jnp.nan,
+                            jnp.float32)]
         )
-    aabb = jnp.concatenate(
-        [aabb, jnp.full((4, aabb.shape[1]), jnp.nan, jnp.float32)]
-    )
+    else:
+        if k_pad > K:
+            order = jnp.concatenate(
+                [order, jnp.full((k_pad - K,), K, jnp.int32)]
+            )
+        aabb = jnp.concatenate(
+            [aabb, jnp.full((4, aabb.shape[1]), jnp.nan, jnp.float32)]
+        )
     # FLAT 1-D SMEM layout: a 2-D (rows, 8) SMEM window pads its minor
     # dim to 128 lanes (512 B/row — measured: the 100k tier's
     # f32[3172,8] table allocated 1.55 MB against SMEM's 1 MB capacity
@@ -1102,6 +1286,8 @@ def _render_rays_fused(
     def kernel(*refs):
         cam_r, dl_r, pl_r, order_r, aabb_r = refs[:5]
         n = 5
+        sup_r = refs[n] if hierarchy else None
+        n += 1 if hierarchy else 0
         sph_r = refs[n] if kb_sph else None
         n += 1 if kb_sph else 0
         tri_r = refs[n] if kb_tri else None
@@ -1114,6 +1300,7 @@ def _render_rays_fused(
         _fused_kernel(
             cam_r, dl_r, pl_r, order_r, aabb_r, sph_r, tri_r,
             *outs, *scratch, out_wu=wuv[0], out_wv=wuv[1],
+            super_ref=sup_r, hierarchy=hierarchy,
             cfg=cfg, kb_sph=kb_sph, kb_tri=kb_tri, n_dl=n_dl, n_pl=n_pl,
             sky_dim=sky_dim, tile_rows=tile_rows, procedural=procedural,
             prune=prune, n_rows=n_rows, n_samples=n_samples,
@@ -1148,7 +1335,8 @@ def _render_rays_fused(
         kernel,
         grid=(n_tiles, B + 1),
         out_shape=[s for s, _ in shapes_specs],
-        in_specs=[smem() for _ in range(5)] + geom_specs,
+        in_specs=[smem() for _ in range(6 if hierarchy else 5)]
+        + geom_specs,
         out_specs=[sp for _, sp in shapes_specs],
         scratch_shapes=[
             pltpu.VMEM((ns * TR, LANES), jnp.float32),
@@ -1156,7 +1344,8 @@ def _render_rays_fused(
             pltpu.VMEM((TR, LANES), jnp.int32),
         ],
         interpret=interpret,
-    )(cam, dl, plt, order, aabb, *geom_in)
+    )(cam, dl, plt, order, aabb,
+      *((super_tab,) if hierarchy else ()), *geom_in)
 
     if bil_img:
         pr, pg, pb, total, counts, sky_w, wu_t, wv_t = outs
@@ -1228,14 +1417,17 @@ def render_band_mesh_fused(
     sample_offset=0.0, n_samples: int = None,
     interpret: bool = False, tile_rows: int = TILE_ROWS,
     prune: bool = True, reduce: str = "avg", swizzle="auto",
-    stats: bool = False, debug_sweep: str = None,
+    stats: bool = False, debug_sweep: str = None, hierarchy: bool = None,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Render a horizontal band x AA-sample slice of a MeshScene frame
     through the fused kernel (offsets may be traced — shard_map callers
     pass lax.axis_index-derived offsets, as with
     render_pallas.render_band_pallas). Returns the (n_rows, W)
     framebuffer Vec3 + trace count; ``reduce='sum'`` leaves the
-    per-pixel sample SUM for a cross-chip psum."""
+    per-pixel sample SUM for a cross-chip psum. ``hierarchy`` forces the
+    two-level sweep on/off; None auto-enables it at
+    HIERARCHY_MIN_SUBCLUSTERS (large scenes, where the flat sweep's
+    bookkeeping floor dominates — see _super_table)."""
     if cfg.dtype != jnp.float32:
         raise ConfigError("fused mesh path is float32-only")
     if cfg.bounce_limit > 16:
@@ -1270,8 +1462,17 @@ def render_band_mesh_fused(
     dl = pack_dlights(scene.directional_lights, jnp.float32)
     plt = pack_plights(scene.point_lights, jnp.float32)
     origin = scene.camera.frame.origin.astype(jnp.float32)
-    order = order_subclusters(pack, origin)
+    if hierarchy is None:
+        hierarchy = (
+            pack.kb_sph + pack.kb_tri >= HIERARCHY_MIN_SUBCLUSTERS
+        )
     aabb = _aabb_table(pack)
+    if hierarchy:
+        super_tab = _super_table(pack)
+        order = order_chunks(super_tab, origin)
+    else:
+        super_tab = None
+        order = order_subclusters(pack, origin)
     color, rays = _render_rays_fused(
         pack, cam, dl, plt, order, aabb,
         scene.skybox.packed.reshape(-1),
@@ -1279,7 +1480,7 @@ def render_band_mesh_fused(
         scene.directional_lights.count, scene.point_lights.count,
         scene.skybox.dim, interpret, tile_rows,
         scene.skybox.procedural, prune, n_rows, n_samples, swizzle, stats,
-        debug_sweep,
+        debug_sweep, super_tab, hierarchy,
     )
     scale = 1.0 / N if reduce == "avg" else 1.0
 
@@ -1292,7 +1493,7 @@ def render_band_mesh_fused(
 def render_frame_mesh_fused(
     scene, cfg: RenderConfig, *, interpret: bool = False,
     tile_rows: int = TILE_ROWS, prune: bool = True, swizzle="auto",
-    stats: bool = False, debug_sweep: str = None,
+    stats: bool = False, debug_sweep: str = None, hierarchy: bool = None,
 ) -> Tuple[Vec3, jnp.ndarray]:
     """Whole-frame fused render of a MeshScene: returns the (H, W)
     framebuffer Vec3 + trace count. Drop-in for
@@ -1304,6 +1505,6 @@ def render_frame_mesh_fused(
     fb, rays = render_band_mesh_fused(
         scene, cfg, 0.0, cfg.height, interpret=interpret,
         tile_rows=tile_rows, prune=prune, swizzle=swizzle, stats=stats,
-        debug_sweep=debug_sweep,
+        debug_sweep=debug_sweep, hierarchy=hierarchy,
     )
     return fb, rays
