@@ -17,9 +17,11 @@ Round-3 numbers: dead 1-2 ms, all 21-24 ms, production within ~1.5x of
 Timing uses bench.py's hardened slope method (CLAUDE.md rule: plain
 enqueue-N loops measured a ~90 ms per-batch sync tax in round 2).
 
-Usage: python scratch/fused_breakdown.py [n_spheres=10000] [fly]
+Usage: python scratch/fused_breakdown.py [n_spheres=10000] [fly] [hier|flat]
   'fly' switches to the bench's exterior fly-over camera (origin x20,
-  orbit window base 2100) — the 100k tier's datum.
+  orbit window base 2100) — the 100k tier's datum. 'hier'/'flat' force
+  the two-level sweep on/off (default: the kernel's auto threshold) —
+  the round-5 datum behind HIERARCHY_MIN_SUBCLUSTERS.
 """
 import functools
 import sys
@@ -37,7 +39,10 @@ from ttrt.kernels.mesh_fused import render_frame_mesh_fused
 from ttrt.mesh import many_sphere_scene
 
 n = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-fly = len(sys.argv) > 2 and sys.argv[2] == "fly"
+fly = "fly" in sys.argv[2:]
+hier = {"hier": True, "flat": False}.get(
+    sys.argv[-1] if len(sys.argv) > 2 else "", None
+)
 cfg = RenderConfig(width=240, height=64, rays_per_pixel=2,
                    bounce_limit=3, dtype=jnp.float32)
 scene = many_sphere_scene(
@@ -55,7 +60,8 @@ def make_step(sweep):
         if fly:
             frame = frame._replace(origin=frame.origin * 20.0)
         fb, rays = render_frame_mesh_fused(
-            scene.with_camera_frame(frame), cfg, debug_sweep=sweep
+            scene.with_camera_frame(frame), cfg, debug_sweep=sweep,
+            hierarchy=hier,
         )
         return fb.x.sum() + fb.y.sum() + fb.z.sum(), rays
     return step
