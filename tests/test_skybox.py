@@ -248,3 +248,51 @@ class TestDeferredBilinear:
         np.testing.assert_array_equal(packed >> 10, idx)
         assert ((np.asarray(wu) >= 0) & (np.asarray(wu) <= 1)).all()
         assert ((np.asarray(wv) >= 0) & (np.asarray(wv) <= 1)).all()
+
+    @pytest.mark.parametrize("dim", [16, 15])
+    def test_quad_fetch_matches_four_gathers(self, dim):
+        # The quad-packed single-gather formulation (served when the
+        # table is 4-divisible: dim=16) must be bit-identical to the
+        # explicit 4-gather form (the fallback, served at dim=15 where
+        # 6*dim^2 % 4 == 2) — both against the same hand-rolled taps.
+        from ttrt.render.skybox import bilinear_from_low_tap
+
+        rng = np.random.default_rng(5)
+        flat = jnp.asarray(
+            rng.integers(0, 1 << 24, 6 * dim * dim, dtype=np.int64)
+            .astype(np.uint32)
+        )
+        m = 777
+        idx = jnp.asarray(
+            rng.integers(0, 6 * dim * dim, m).astype(np.int32))
+        # include every group phase and face-edge low corners
+        idx = idx.at[:4].set(jnp.arange(4, dtype=jnp.int32))
+        idx = idx.at[4].set(6 * dim * dim - 1)  # u0=v0=dim-1: both clamps
+        idx = idx.at[5].set(dim - 1)  # u clamp only
+        idx = idx.at[6].set((dim - 1) * dim)  # v clamp only
+        wu = jnp.asarray(rng.random(m, dtype=np.float32))
+        wv = jnp.asarray(rng.random(m, dtype=np.float32))
+
+        got = np.stack([np.asarray(c) for c in
+                        bilinear_from_low_tap(flat, idx, wu, wv, dim)], -1)
+
+        fn = np.asarray(flat)
+        u0 = np.asarray(idx) % dim
+        v0 = (np.asarray(idx) // dim) % dim
+        base = np.asarray(idx) - v0 * dim - u0
+        u1 = np.minimum(u0 + 1, dim - 1)
+        v1 = np.minimum(v0 + 1, dim - 1)
+
+        def tap(vi, ui):
+            t = fn[base + vi * dim + ui]
+            return np.stack([
+                ((t >> 16) & 0xFF).astype(np.float32) / np.float32(255.0),
+                ((t >> 8) & 0xFF).astype(np.float32) / np.float32(255.0),
+                (t & 0xFF).astype(np.float32) / np.float32(255.0)], -1)
+
+        c00, c01, c10, c11 = tap(v0, u0), tap(v0, u1), tap(v1, u0), tap(v1, u1)
+        wuc = np.asarray(wu)[:, None]
+        wvc = np.asarray(wv)[:, None]
+        want = ((c00 * (1 - wuc) + c01 * wuc) * (1 - wvc)
+                + (c10 * (1 - wuc) + c11 * wuc) * wvc)
+        np.testing.assert_array_equal(got, want.astype(np.float32))

@@ -178,22 +178,61 @@ def bilinear_from_low_tap(flat_table: jnp.ndarray, idx00: jnp.ndarray,
     derive from idx00 + dim (per-component clamping keeps taps on the
     face), and the lerp runs in the oracle's exact op order — this is a
     BIT-EXACTNESS contract shared by both production kernels, so it
-    lives in one place. Returns (r, g, b) f32 arrays."""
-    u0 = idx00 % dim
-    v0 = (idx00 // dim) % dim
-    base = idx00 - v0 * dim - u0  # face * dim^2
-    u1 = jnp.minimum(u0 + 1, dim - 1)
-    v1 = jnp.minimum(v0 + 1, dim - 1)
+    lives in one place. Returns (r, g, b) f32 arrays.
+
+    Fetch strategy: the row-gather cost is ~2 cycles/row REGARDLESS of
+    row width (fetch_packed_texels's measurement), so instead of FOUR
+    row gathers (one per tap — the formulation that measured ~4x the
+    single-tap tier) we build a QUAD-PACKED table whose row i holds all
+    four clamped taps of low corner i — pure shifted slices, no gathers,
+    ~4x the table bytes streamed once per frame — and fetch each ray's
+    filter footprint with ONE 16-wide row gather (4 quads/row) + a
+    4-group one-hot select. The quad entries are the identical packed
+    u32 texels the 4-gather form fetched (same min(·+1, dim-1) edge
+    clamp), and the lerp order is unchanged, so the result is
+    bit-identical; tests/test_skybox.py asserts exact equality against
+    the no-compression reference."""
+    n = flat_table.shape[0]
     c255 = jnp.asarray(255.0, jnp.float32)
+    if n % (dim * dim) == 0 and n % 4 == 0 and idx00.ndim == 1:
+        t = flat_table.reshape(-1, dim, dim)
+        t01 = jnp.concatenate([t[:, :, 1:], t[:, :, -1:]], axis=2)
+        t10 = jnp.concatenate([t[:, 1:, :], t[:, -1:, :]], axis=1)
+        t11 = jnp.concatenate([t01[:, 1:, :], t01[:, -1:, :]], axis=1)
+        quad = jnp.stack(
+            [t.reshape(-1), t01.reshape(-1), t10.reshape(-1),
+             t11.reshape(-1)], axis=-1)  # (n, 4): [c00, c01, c10, c11]
+        rows = jnp.take(quad.reshape(n // 4, 16), idx00 >> 2, axis=0)
+        group = (idx00 & 3).astype(jnp.int32)
+        onehot = group[:, None] == jnp.arange(4, dtype=jnp.int32)[None, :]
+        taps = jnp.sum(
+            jnp.where(onehot[:, :, None], rows.reshape(-1, 4, 4),
+                      jnp.zeros((), flat_table.dtype)),
+            axis=1, dtype=flat_table.dtype)  # (M, 4) packed u32 taps
 
-    def tap(vi, ui):
-        t = fetch_packed_texels(flat_table, base + vi * dim + ui)
-        return (((t >> 16) & 0xFF).astype(jnp.float32) / c255,
-                ((t >> 8) & 0xFF).astype(jnp.float32) / c255,
-                (t & 0xFF).astype(jnp.float32) / c255)
+        def unpack(tx):
+            return (((tx >> 16) & 0xFF).astype(jnp.float32) / c255,
+                    ((tx >> 8) & 0xFF).astype(jnp.float32) / c255,
+                    (tx & 0xFF).astype(jnp.float32) / c255)
 
-    c00, c01 = tap(v0, u0), tap(v0, u1)
-    c10, c11 = tap(v1, u0), tap(v1, u1)
+        c00, c01 = unpack(taps[:, 0]), unpack(taps[:, 1])
+        c10, c11 = unpack(taps[:, 2]), unpack(taps[:, 3])
+    else:
+        # fallback (tiny/odd test cubemaps): four row gathers
+        u0 = idx00 % dim
+        v0 = (idx00 // dim) % dim
+        base = idx00 - v0 * dim - u0  # face * dim^2
+        u1 = jnp.minimum(u0 + 1, dim - 1)
+        v1 = jnp.minimum(v0 + 1, dim - 1)
+
+        def tap(vi, ui):
+            tx = fetch_packed_texels(flat_table, base + vi * dim + ui)
+            return (((tx >> 16) & 0xFF).astype(jnp.float32) / c255,
+                    ((tx >> 8) & 0xFF).astype(jnp.float32) / c255,
+                    (tx & 0xFF).astype(jnp.float32) / c255)
+
+        c00, c01 = tap(v0, u0), tap(v0, u1)
+        c10, c11 = tap(v1, u0), tap(v1, u1)
     out = []
     for ch in range(3):
         top = c00[ch] * (1.0 - wu) + c01[ch] * wu
